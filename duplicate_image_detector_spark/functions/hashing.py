@@ -1,0 +1,136 @@
+"""MinHash / SimHash column expressions — all JVM-side, no Python hot path.
+
+This replaces the reference's dense-embedding feature stage
+(/root/reference/duplicate-detector.py:1024-1098, SSCD 1024-d float vectors)
+with set signatures:
+
+  * ``minhash_col``  — n_perm universal-hash minima over shingle hashes,
+    each permutation an ``array_min(transform(...))`` expression: per-row,
+    shuffle-free, whole-stage-codegen'd.
+  * ``simhash_col``  — bit-majority fingerprint over shingle hashes.
+
+Two base shingle-hash variants:
+  * ``shingle_xxhash64_col`` — Spark's built-in xxhash64; the fast at-scale
+    default.
+  * ``shingle_md5_60bit_col`` — first 15 hex digits of md5 parsed to BIGINT.
+    md5 exists identically in DuckDB (``('0x' || substr(md5(s),1,15))::BIGINT``),
+    so correctness-gate queries built on this hash are oracle-reproducible
+    bit-for-bit.  60 bits keeps the value non-negative in both engines.
+
+Determinism: permutation params come from the seeded config
+(PipelineConfig.perm_params), independent of partitioning — the distributed
+replacement for the reference's sorted-scan determinism (ref :2666).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+
+_U32 = 4294967295  # 0xFFFFFFFF
+
+
+def shingle_xxhash64_col(shingles: Column) -> Column:
+    """array<string> -> array<bigint> via built-in xxhash64 (seed 42)."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def shingle_md5_60bit_col(shingles: Column) -> Column:
+    """array<string> -> array<bigint>: int(md5(s)[:15 hex], 16).
+
+    Non-negative 60-bit values; reproducible in DuckDB SQL for the oracle.
+    """
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def minhash_col(hashes: Column, cfg: PipelineConfig) -> Column:
+    """array<bigint> shingle hashes -> array<int> MinHash signature.
+
+    h_i(x) = (a_i * (x & 0xFFFFFFFF) + b_i) mod p, minimum per permutation.
+    The 32-bit truncation + a_i < 2^30 bounds the product under 2^62 so the
+    arithmetic is exact int64 under ANSI mode.
+    """
+    p = F.lit(cfg.hash_prime)
+
+    def _perm_min(a: int, b: int) -> Column:
+        la, lb = F.lit(a), F.lit(b)
+        return F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (h.bitwiseAND(F.lit(_U32)) * la + lb) % p,
+            )
+        ).cast("int")
+
+    return F.array(*[_perm_min(a, b) for a, b in cfg.perm_params()])
+
+
+def simhash_col(hashes: Column, cfg: PipelineConfig) -> Column:
+    """array<bigint> shingle hashes -> bigint SimHash fingerprint.
+
+    Bit j of the output is 1 iff the majority of (distinct) shingle hashes
+    have bit j set (strict majority; ties -> 0).  ``cfg.simhash_bits`` <= 62
+    keeps the result non-negative.
+    """
+    def _bit_sum(j: int) -> Column:
+        mask = F.lit(1 << j)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bit_sums = [_bit_sum(j) for j in range(cfg.simhash_bits)]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def hamming_col(a: Column, b: Column) -> Column:
+    """Hamming distance between two bigint fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def band_structs_col(minhash: Column, cfg: PipelineConfig) -> Column:
+    """array<struct<band_id int, band_hash bigint>> — LSH banding.
+
+    Each band hashes ``rows_per_band`` consecutive signature values with
+    xxhash64 (structural hash over the sliced array).  ``band_id`` is a
+    separate join key, so identical row-slices in different bands never
+    collide.
+    """
+    r = cfg.rows_per_band
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("band_id"),
+            F.xxhash64(F.slice(minhash, i * r + 1, r)).alias("band_hash"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirrors (test oracle)
+# ---------------------------------------------------------------------------
+
+def py_md5_60bit(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_simhash(hashes: list[int], bits: int) -> int:
+    out = 0
+    for j in range(bits):
+        s = sum(1 if (h >> j) & 1 else -1 for h in hashes)
+        if s > 0:
+            out |= 1 << j
+    return out

@@ -1,0 +1,144 @@
+"""Connected components via iterative large-star / small-star joins.
+
+Replaces the reference's in-memory union-find DSU
+(/root/reference/duplicate-detector.py:1744-1777) with the two-round
+alternating-star algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC'14) — the standard shuffle-based CC with
+O(log² n) round convergence, expressed as DataFrame group-bys + joins.
+
+Each iteration:
+  * large-star: every node points its larger neighbors at the minimum of
+    its closed neighborhood.
+  * small-star: every node points its smaller-or-equal neighbors (and
+    itself) at that minimum.
+
+Convergence: the edge multiset stops changing — detected with an
+order-insensitive checksum ``(count, bit_xor(xxhash64(u,v)))`` so each round
+costs one small aggregate action, no collect of edges.  Every iteration the
+edge set is round-tripped through a parquet checkpoint, truncating the
+growing join lineage (SURVEY §4 custom-logic item 2; in production this is
+an Iceberg stage table).  ``localCheckpoint`` is deliberately not used: on
+Spark 4.1 it trips an optimizer AttributeMap bug ("key not found: u#...")
+when the plan mixes a prior local checkpoint with the self-union inside the
+star steps, and an on-disk checkpoint is also what crash-resume needs.
+
+At convergence the edge set is a star forest: (node -> component minimum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edges as (u > v) pairs, self-loops dropped, distinct."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_minv"))
+        .select("u", F.least(F.col("_minv"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    grouped = (
+        directed.groupBy("u")
+        .agg(F.min("v").alias("_minv"))
+        .select("u", F.least(F.col("_minv"), F.col("u")).alias("m"))
+    )
+    joined = directed.join(grouped, "u")
+    out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        grouped.select("u", F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive and overflow-free under ANSI mode
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _truncate(df: DataFrame, work_dir: str, it: int) -> DataFrame:
+    import os
+
+    path = os.path.join(work_dir, f"cc_iter_{it:03d}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, work_dir: str | None = None
+) -> DataFrame:
+    """edges(id_a, id_b) -> (doc_id, cluster_id = component min).
+
+    Only nodes that appear in an edge are returned (singletons are the
+    caller's concern, as in the reference where ungrouped images simply get
+    no group_id).
+    """
+    import tempfile
+
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="cc_work_")
+    cur = _truncate(
+        _canonical(
+            edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        ),
+        work_dir,
+        0,
+    )
+    prev_sig: tuple[int, int] | None = None
+    for it in range(max_iter):
+        nxt = _truncate(_small_star(_large_star(cur)), work_dir, it + 1)
+        sig = _checksum(nxt)
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # star forest: u -> v (= component min); roots appear only on the v side
+    members = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = cur.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()
+
+
+def py_dsu_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Single-node union-find oracle — a transcription of the reference's
+    DSU grouping semantics (ref :1758-1777) used only by tests."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}

@@ -1,0 +1,58 @@
+"""Exact-duplicate tier: byte-identical text grouped by sha256.
+
+Analog of the reference's metadata-key grouping
+(/root/reference/duplicate-detector.py:1346-1383): hash-group by a cheap
+exact key, keep groups of size >= 2 (MIN_GROUP_SIZE=2, ref :99).
+
+One shuffle (hash aggregate on the 64-hex key); cluster_id = min(doc_id) of
+the group — deterministic under any partitioning, unlike the reference's
+enumeration counter ids (ref :1932).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+from duplicate_image_detector_spark.functions.text import text_sha256_col
+
+
+def exact_clusters(
+    docs: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs -> (doc_id, cluster_id, tier='exact') for duplicated texts.
+
+    Window-min over the hash key instead of groupBy+collect_list: no
+    per-group array materializes, so a pathological million-row exact group
+    (common in webtext: empty pages, error pages) costs O(rows), not a
+    driver-sized list (SURVEY §2.4 A1 scale note).
+    """
+    keyed = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        text_sha256_col(F.col(text_col)).alias("text_sha256"),
+    )
+    w = Window.partitionBy("text_sha256")
+    return (
+        keyed.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("cluster_id"),
+            F.count("*").over(w).alias("_n"),
+        )
+        .where(F.col("_n") >= 2)
+        .select("doc_id", "cluster_id", F.lit("exact").alias("tier"))
+    )
+
+
+def exact_pair_edges(exact: DataFrame) -> DataFrame:
+    """Exact clusters as star edges (doc -> group min) for unified CC."""
+    return (
+        exact.where(F.col("doc_id") != F.col("cluster_id"))
+        .select(
+            F.col("cluster_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+        )
+    )

@@ -1,0 +1,72 @@
+"""LSH candidate generation: band explode -> bucket equi-self-join.
+
+Replaces (not ports) the reference's O(n²) blocked all-pairs similarity
+theta-join (/root/reference/duplicate-detector.py:1385-1436, the blocked
+``np.dot`` at :1404-1415): MinHash signatures are banded, documents sharing
+any (band_id, band_hash) bucket become candidate pairs, canonicalized to
+``id_a < id_b`` (the reference's upper-triangle enumeration, ref :1420) and
+de-duplicated across bands (a pair can collide in several bands; the
+reference never double-counts because it enumerates pairs exactly once).
+
+Skew (SURVEY §4 custom-logic item 1): boilerplate/template pages put huge
+document sets into one bucket, and the join output grows O(|bucket|²) —
+AQE's skew-join split bounds per-task input, not that quadratic output.  The
+engine therefore computes bucket sizes first and routes:
+
+  * size <= max_bucket  -> full within-bucket self-join (AQE skew split
+    handles residual partition imbalance),
+  * size >  max_bucket  -> pivot pairing: every member pairs with the
+    bucket's min doc_id only (O(|bucket|) pairs).  Members of such a bucket
+    agree on an entire signature band, i.e. they are near-identical; the
+    verify + connected-components stages recover the full cluster through
+    the pivot.  The recall cost of this cap is part of the 0.99 budget and
+    is measured in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+from duplicate_image_detector_spark.functions.hashing import band_structs_col
+
+
+def explode_bands(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """signatures -> (doc_id, band_id, band_hash), one row per band."""
+    return sig.select(
+        "doc_id",
+        F.explode(band_structs_col(F.col("minhash"), cfg)).alias("b"),
+    ).select("doc_id", F.col("b.band_id"), F.col("b.band_hash"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """signatures -> distinct candidate (id_a, id_b), id_a < id_b."""
+    bands = explode_bands(sig, cfg)
+
+    stats = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size"),
+        F.min("doc_id").alias("pivot_id"),
+    )
+    annotated = bands.join(stats, ["band_id", "band_hash"])
+
+    normal = annotated.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket)
+    )
+    left = normal.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
+    right = normal.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
+    joined = left.join(right, ["band_id", "band_hash"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+
+    pivoted = (
+        annotated.where(F.col("bucket_size") > cfg.max_bucket)
+        .where(F.col("doc_id") != F.col("pivot_id"))
+        .select(F.col("pivot_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+
+    return (
+        joined.select("id_a", "id_b")
+        .union(pivoted)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,214 @@
+"""Substring tier: long exact shared spans the signature stages miss.
+
+North-rule addition with no reference analog (the reference's nearest idea
+is its two-tier exact-vs-near split, /root/reference/TECHNICAL.md:7-15):
+two documents sharing one verbatim span of >= L chars can still have overall
+Jaccard << 0.86, so a dedicated stage flags them as ``tier='substring'``.
+
+Scale design (no suffix array over 100 TB of concatenated text):
+
+1. **Content-defined fingerprint sampling** (mapInPandas, NumPy-vectorized):
+   per document, a Karp-Rabin rolling hash over every k-char gram; positions
+   whose weak hash ≡ 0 (mod s) are *selected* — selection depends only on
+   local content, so the same span selects the same positions in every
+   document containing it.  Each selected gram is identified by a strong
+   md5-based 64-bit fingerprint.  A shared span of length L contains
+   L-k+1 grams, so the probability that none is selected is
+   (1-1/s)^(L-k+1) — at the pinned config (k=64, s=32, L=400) ≈ 2.4e-5,
+   inside the 0.99 recall budget.
+2. **Candidate pairs**: fingerprint equi-join (group-by fingerprint,
+   bucket-capped like the LSH stage).
+3. **Exact verification**: longest common substring via a generalized
+   suffix automaton (O(n+m) per pair, textbook construction) in an
+   Arrow-batched UDF — only candidate pairs pay it, the reference's P1
+   cheap-then-expensive ordering again.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+_KR_BASE = 131
+_KR_MOD = (1 << 31) - 1
+
+
+def py_select_fingerprints(text: str, k: int, mod: int) -> set[int]:
+    """Strong 64-bit fingerprints of content-selected k-grams (NumPy)."""
+    n = len(text)
+    if n < k:
+        return set()
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        h = (h * _KR_BASE + codes[j : j + m]) % _KR_MOD
+    sel = np.nonzero(h % mod == 0)[0]
+    out: set[int] = set()
+    for i in sel:
+        d = hashlib.md5(text[int(i) : int(i) + k].encode("utf-8")).digest()
+        out.add(int.from_bytes(d[:8], "big") >> 1)  # 63-bit, non-negative
+    return out
+
+
+def fingerprint_docs(
+    docs: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs -> (doc_id, fp BIGINT), distinct per doc."""
+    k, mod = cfg.substring_gram, cfg.substring_mod
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                for fp in py_select_fingerprints(str(text), k, mod):
+                    ids.append(int(doc_id))
+                    fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(gen, schema="doc_id bigint, fp bigint")
+
+
+def fingerprint_candidate_pairs(fps: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(doc_id, fp) -> candidate (id_a < id_b), bucket-capped like LSH."""
+    stats = fps.groupBy("fp").agg(
+        F.count("*").alias("bucket_size"), F.min("doc_id").alias("pivot_id")
+    )
+    annotated = fps.join(stats, "fp")
+    normal = annotated.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket)
+    )
+    left = normal.select("fp", F.col("doc_id").alias("id_a"))
+    right = normal.select("fp", F.col("doc_id").alias("id_b"))
+    joined = left.join(right, "fp").where(F.col("id_a") < F.col("id_b"))
+    pivoted = (
+        annotated.where(F.col("bucket_size") > cfg.max_bucket)
+        .where(F.col("doc_id") != F.col("pivot_id"))
+        .select(F.col("pivot_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return joined.select("id_a", "id_b").union(pivoted).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+
+
+def py_longest_common_substring(a: str, b: str) -> int:
+    """Length of the longest common substring — suffix automaton of ``a``
+    walked with ``b``; O(|a|+|b|) time (standard construction)."""
+    # build suffix automaton of a
+    MAXN = 2 * len(a) + 5
+    nxt: list[dict[str, int]] = [dict() for _ in range(MAXN)]
+    link = [0] * MAXN
+    length = [0] * MAXN
+    link[0] = -1
+    last, size = 0, 1
+    for ch in a:
+        cur = size
+        size += 1
+        length[cur] = length[last] + 1
+        p = last
+        while p != -1 and ch not in nxt[p]:
+            nxt[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = nxt[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = size
+                size += 1
+                length[clone] = length[p] + 1
+                nxt[clone] = dict(nxt[q])
+                link[clone] = link[q]
+                while p != -1 and nxt[p].get(ch) == q:
+                    nxt[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # walk b
+    v, cur_len, best = 0, 0, 0
+    for ch in b:
+        while v and ch not in nxt[v]:
+            v = link[v]
+            cur_len = length[v]
+        if ch in nxt[v]:
+            v = nxt[v][ch]
+            cur_len += 1
+            if cur_len > best:
+                best = cur_len
+        else:
+            v, cur_len = 0, 0
+    return best
+
+
+def substring_pairs(
+    docs: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs -> verified (id_a, id_b, span_len, tier='substring') pairs
+    sharing an exact span >= cfg.substring_min_len chars."""
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).where(F.col("text").isNotNull())
+    cands = fingerprint_candidate_pairs(fingerprint_docs(src, cfg), cfg)
+    with_text = (
+        cands.join(src.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")), "id_b")
+    )
+    min_len = cfg.substring_min_len
+
+    def verify(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for ia, ib, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_ta"], pdf["_tb"]
+            ):
+                # shorter string builds the automaton (memory-lean)
+                s, t = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+                span = py_longest_common_substring(str(s), str(t))
+                if span >= min_len:
+                    rows.append((int(ia), int(ib), int(span)))
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "id_b": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "span_len": pd.Series([r[2] for r in rows], dtype="int64"),
+                }
+            )
+
+    out = with_text.mapInPandas(
+        verify, schema="id_a bigint, id_b bigint, span_len bigint"
+    )
+    return out.select("*", F.lit("substring").alias("tier"))

@@ -1,0 +1,157 @@
+"""The end-to-end dedup pipeline — analog of the reference's run_detection
+(/root/reference/duplicate-detector.py:2801-2870), expressed as a DAG of
+checkpointed DataFrame stages:
+
+    pages ─ extract ─ docs ─┬─ exact tier (sha256 group-by)      ─┐
+                            ├─ signatures ─ LSH ─ verify (near)  ─┼─ edges
+                            └─ substring fingerprints ─ verify   ─┘   │
+                                              connected components ───┤
+                                      clusters (+ representatives) ───┘
+
+Stage boundaries match the reference's pipeline steps 1-7 (README.md:33-41);
+every stage checkpoint is keyed by the config hash (ref cache-key contract,
+:439-451), so a crashed run resumes at the first incomplete stage.
+
+``doc_id`` is ``xxhash64(url)``: a compact 8-byte join key instead of the
+url string in every shuffle.  Collision math: at 10^12 docs the expected
+number of 64-bit collisions is ~27 (n²/2^65); a production hardening is the
+(xxhash64(url), xxhash64(reverse(url))) 128-bit pair — the structure is
+unchanged, so the 64-bit key is used here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+from duplicate_image_detector_spark.functions.text import extract_text
+from duplicate_image_detector_spark.operators.components import (
+    connected_components,
+)
+from duplicate_image_detector_spark.operators.exact import (
+    exact_clusters,
+    exact_pair_edges,
+)
+from duplicate_image_detector_spark.operators.lsh import lsh_candidate_pairs
+from duplicate_image_detector_spark.operators.representative import (
+    assemble_clusters,
+)
+from duplicate_image_detector_spark.operators.signatures import (
+    compute_signatures,
+)
+from duplicate_image_detector_spark.operators.substring import substring_pairs
+from duplicate_image_detector_spark.operators.verify import verify_pairs
+from duplicate_image_detector_spark.sources.checkpoints import CheckpointManager
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    signatures: DataFrame
+    pairs: DataFrame        # id_a, id_b, score, tier  (all evidence edges)
+    clusters: DataFrame     # url, doc_id, cluster_id, tier, score, is_representative
+    ckpt: CheckpointManager | None
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig,
+    checkpoint_dir: str | None = None,
+    use_md5_hash: bool = False,
+    enable_substring: bool = True,
+) -> PipelineResult:
+    """pages(url, html|text, ...) -> PipelineResult.
+
+    If ``html`` is present and ``text`` is not, text is extracted with the
+    Arrow-batched UDF (byte-identity invariant).  If both are present the
+    stored ``text`` is trusted as ground truth (fixtures verify the UDF
+    separately).
+    """
+    ckpt = (
+        CheckpointManager(spark, checkpoint_dir, cfg)
+        if checkpoint_dir
+        else CheckpointManager(spark, "", cfg, enabled=False)
+    )
+
+    def _docs() -> DataFrame:
+        if "text" in pages.columns:
+            src = pages.select("url", "text")
+        else:
+            src = extract_text(pages)
+        # project html away immediately; derive the compact join key.
+        # min-length validity predicate applied once here (M2 analog,
+        # ref :676-677) so every tier sees the same document universe.
+        return src.where(
+            F.col("text").isNotNull()
+            & (F.length("text") >= cfg.min_text_len)
+        ).select(F.xxhash64("url").alias("doc_id"), "url", "text")
+
+    docs = ckpt.run("docs", _docs)
+
+    signatures = ckpt.run(
+        "signatures",
+        lambda: compute_signatures(docs, cfg, use_md5_hash=use_md5_hash),
+    )
+
+    exact = ckpt.run("exact", lambda: exact_clusters(docs, cfg))
+
+    candidates = ckpt.run(
+        "candidates", lambda: lsh_candidate_pairs(signatures, cfg)
+    )
+
+    verified = ckpt.run(
+        "verified", lambda: verify_pairs(candidates, signatures, cfg)
+    )
+
+    if enable_substring:
+        substr = ckpt.run("substring", lambda: substring_pairs(docs, cfg))
+    else:
+        substr = None
+
+    def _edges() -> DataFrame:
+        e = exact_pair_edges(exact).select(
+            "id_a", "id_b", F.lit(1.0).alias("score"), F.lit("exact").alias("tier")
+        )
+        n = verified.select(
+            "id_a", "id_b", F.col("jaccard").alias("score"), "tier"
+        )
+        parts = [e, n]
+        if substr is not None:
+            # span_len normalized against the shorter doc is a score in (0,1]
+            parts.append(
+                substr.select("id_a", "id_b", F.lit(0.5).alias("score"), "tier")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    edges = ckpt.run("edges", _edges)
+
+    import os
+
+    cc_dir = os.path.join(ckpt.root, "_cc_work") if checkpoint_dir else None
+    components = ckpt.run(
+        "components",
+        lambda: connected_components(
+            edges.select("id_a", "id_b"), work_dir=cc_dir
+        ),
+    )
+
+    def _clusters() -> DataFrame:
+        assembled = assemble_clusters(components, edges)
+        return assembled.join(docs.select("doc_id", "url"), "doc_id")
+
+    clusters = ckpt.run("clusters", _clusters)
+
+    return PipelineResult(
+        docs=docs,
+        signatures=signatures,
+        pairs=edges,
+        clusters=clusters,
+        ckpt=ckpt if checkpoint_dir else None,
+    )

@@ -1,0 +1,123 @@
+"""Per-stage checkpoint tables with config-hash keying and lineage metrics.
+
+Analog of the reference's feature-cache protocol
+(/root/reference/duplicate-detector.py:439-451, 2700-2718): an artifact is
+reused across runs iff the semantics-affecting config hash matches; its
+``deletion_log``-style audit (ref :307-313, 2518-2524) maps to an
+append-only ``stage_metrics`` table with per-partition row counts.
+
+In this sandbox the stage tables are parquet directories laid out as
+``{base}/{config_hash}/{stage}``; in production each write is an Iceberg
+``writeTo(...).createOrReplace()`` whose snapshot commit supplies the
+atomicity that the ``_STAGE_COMPLETE`` marker supplies here (the reference's
+delete-then-insert transaction, ref :2059-2081, maps the same way).
+A stage is recomputed only when its marker is absent — crash-resume skips
+every completed stage (north-rule requirement; resume test in
+tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+
+_MARKER = "_STAGE_COMPLETE"
+
+STAGE_METRICS_SCHEMA = (
+    "stage string, config_hash string, rows_out bigint, n_files int, "
+    "wall_ms bigint, recomputed boolean, ts double, partition_rows string"
+)
+
+
+@dataclass
+class CheckpointManager:
+    spark: SparkSession
+    base_dir: str
+    cfg: PipelineConfig
+    enabled: bool = True
+    computed_stages: list[str] = field(default_factory=list)
+    resumed_stages: list[str] = field(default_factory=list)
+    _metrics: list[dict] = field(default_factory=list)
+
+    @property
+    def root(self) -> str:
+        return os.path.join(self.base_dir, self.cfg.config_hash())
+
+    def stage_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self.stage_path(stage), _MARKER))
+
+    def run(self, stage: str, fn) -> DataFrame:
+        """Return the stage table, computing + persisting it only if its
+        checkpoint is missing for this config hash."""
+        if not self.enabled:
+            # no durable checkpoint: persist instead (S8 cache analog) so
+            # downstream actions don't recompute the whole upstream DAG
+            from pyspark.storagelevel import StorageLevel
+
+            self.computed_stages.append(stage)
+            return fn().persist(StorageLevel.MEMORY_AND_DISK)
+        path = self.stage_path(stage)
+        if self.is_complete(stage):
+            self.resumed_stages.append(stage)
+            return self.spark.read.parquet(path)
+        t0 = time.time()
+        df = fn()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        # per-partition (per-file) lineage counters — the distributed analog
+        # of the reference's per-run counters (ref :2744-2770)
+        part_rows = {
+            os.path.basename(r["f"]): int(r["n"])
+            for r in out.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        wall_ms = int((time.time() - t0) * 1000)
+        self._metrics.append(
+            {
+                "stage": stage,
+                "config_hash": self.cfg.config_hash(),
+                "rows_out": sum(part_rows.values()),
+                "n_files": len(part_rows),
+                "wall_ms": wall_ms,
+                "recomputed": True,
+                "ts": time.time(),
+                "partition_rows": json.dumps(part_rows, sort_keys=True),
+            }
+        )
+        self._write_metrics()
+        with open(os.path.join(path, _MARKER), "w") as fh:
+            fh.write(json.dumps({"wall_ms": wall_ms}))
+        self.computed_stages.append(stage)
+        return out
+
+    def _write_metrics(self) -> None:
+        if not self._metrics:
+            return
+        mdf = self.spark.createDataFrame(
+            [tuple(m.values()) for m in self._metrics],
+            schema=STAGE_METRICS_SCHEMA,
+        )
+        mdf.write.mode("append").parquet(os.path.join(self.root, "_stage_metrics"))
+        self._metrics.clear()
+
+    def stage_metrics(self) -> DataFrame | None:
+        p = os.path.join(self.root, "_stage_metrics")
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def invalidate(self, stage: str) -> None:
+        marker = os.path.join(self.stage_path(stage), _MARKER)
+        if os.path.exists(marker):
+            os.remove(marker)
