@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling mode (north-rule evidence, sandbox substitute for N vs 4N
+executors):
+    python bench.py --scaling
+runs the signature+LSH+verify+CC pipeline over a generated ~50k-doc corpus
+at local[8] and local[32] in FRESH JVMs (subprocesses), reports throughput
+at both and efficiency = (T8/T32)/4, and writes BENCH/BASELINE.md.
+
+    python bench.py --scaling-worker --cpus N --input PATH
+is the internal single-measurement entry point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DIR = os.path.join(REPO, "BENCH")
+CORPUS = os.path.join(BENCH_DIR, "bench_corpus_50k.parquet")
+
+
+def _spark(cpus: str | int):
+    from duplicate_image_detector_spark.session import get_spark
+
+    return get_spark(app_name="bench", master=f"local[{cpus}]")
+
+
+# ---------------------------------------------------------------------------
+# default mode: headline queries at SF dir
+# ---------------------------------------------------------------------------
+
+def run_default() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = _spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from duplicate_image_detector_spark.config import PipelineConfig
+    from duplicate_image_detector_spark.plans.pipeline import run_pipeline
+    from pyspark.sql import functions as F
+
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # q1: the flagship — full near-dup pipeline at the pinned 16x8 config
+    def flagship() -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text"
+        )
+        res = run_pipeline(
+            spark, pages, PipelineConfig(), enable_substring=True
+        )
+        meta["n_docs"] = docs.count()
+        meta["n_clustered"] = res.clusters.count()
+
+    timed("dedup_pipeline", flagship)
+    timed("exact_dup_clusters", lambda: E.q_exact_dup_clusters(spark, sf_dir).count())
+    timed("minhash_lsh_pairs", lambda: E.q_minhash_lsh_pairs(spark, sf_dir).count())
+    timed("simhash_hamming_pairs", lambda: E.q_simhash_hamming_pairs(spark, sf_dir).count())
+    timed("substring_pairs", lambda: E.q_substring_pairs(spark, sf_dir).count())
+    timed("cosine_topk", lambda: E.q_cosine_topk(spark, sf_dir).count())
+    timed("ann_lsh_topk", lambda: E.q_ann_lsh_topk(spark, sf_dir).count())
+    timed("token_stats", lambda: E.q_token_stats(spark, sf_dir).count())
+    timed("quality_score", lambda: E.q_quality_score(spark, sf_dir).count())
+    timed("lang_id", lambda: E.q_lang_id(spark, sf_dir).count())
+    timed("tpch_q1", lambda: E.q_tpch_q1(spark, sf_dir).count())
+    timed("top_orders_per_cust", lambda: E.q_top_orders_per_cust(spark, sf_dir).count())
+    timed("event_sessions", lambda: E.q_event_sessions(spark, sf_dir).count())
+    timed("events_minutely", lambda: E.q_events_minutely(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = (
+        round(meta["n_docs"] / timings["dedup_pipeline"], 1)
+        if timings.get("dedup_pipeline")
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_docs_per_sec": docs_per_sec,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# scaling mode
+# ---------------------------------------------------------------------------
+
+def _ensure_corpus(n_docs: int = 50000) -> str:
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return CORPUS
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    from duplicate_image_detector_spark.sources.fixtures import generate_pages
+
+    print(f"generating {n_docs}-doc bench corpus ...", file=sys.stderr)
+    pages, _ = generate_pages(n_docs=n_docs, seed=42)
+    spark = _spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame(pages[["url", "text"]])
+    df.repartition(64).write.mode("overwrite").parquet(CORPUS)
+    spark.stop()
+    return CORPUS
+
+
+def run_scaling_worker(cpus: int, input_path: str) -> None:
+    """Measure signature+LSH+verify+CC wall over the corpus at one
+    parallelism level; print one JSON line."""
+    spark = _spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from duplicate_image_detector_spark.config import PipelineConfig
+    from duplicate_image_detector_spark.operators.components import (
+        connected_components,
+    )
+    from duplicate_image_detector_spark.operators.lsh import lsh_candidate_pairs
+    from duplicate_image_detector_spark.operators.signatures import (
+        compute_signatures,
+    )
+    from duplicate_image_detector_spark.operators.verify import verify_pairs
+
+    cfg = PipelineConfig()
+    pages = spark.read.parquet(input_path)
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text").where(
+        F.col("text").isNotNull() & (F.length("text") >= cfg.min_text_len)
+    )
+    n_docs = docs.count()
+
+    t0 = time.time()
+    sig = compute_signatures(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    n_sig = sig.count()
+    t_sig = time.time() - t0
+
+    t1 = time.time()
+    verified = verify_pairs(lsh_candidate_pairs(sig, cfg), sig, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_pairs = verified.count()
+    t_lsh = time.time() - t1
+
+    t2 = time.time()
+    comp = connected_components(verified.select("id_a", "id_b"))
+    n_nodes = comp.count()
+    t_cc = time.time() - t2
+
+    total = t_sig + t_lsh + t_cc
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "n_signatures": n_sig,
+                "n_verified_pairs": n_pairs,
+                "n_clustered_docs": n_nodes,
+                "t_signatures_sec": round(t_sig, 3),
+                "t_lsh_verify_sec": round(t_lsh, 3),
+                "t_cc_sec": round(t_cc, 3),
+                "t_total_sec": round(total, 3),
+                "docs_per_sec": round(n_docs / total, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_scaling() -> None:
+    corpus = _ensure_corpus()
+    results = {}
+    for cpus in (8, 32):
+        print(f"scaling run at local[{cpus}] ...", file=sys.stderr)
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-worker", "--cpus", str(cpus),
+             "--input", corpus],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line, file=sys.stderr)
+
+    t8, t32 = results[8]["t_total_sec"], results[32]["t_total_sec"]
+    eff = round((t8 / t32) / (32 / 8), 3)
+    summary = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "runs": results,
+        "target": 0.8,
+    }
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    _write_baseline_md(results, eff)
+    print(json.dumps(summary))
+
+
+def _write_baseline_md(results: dict, eff: float) -> None:
+    r8, r32 = results[8], results[32]
+    md = f"""# BENCH/BASELINE.md — measured numbers
+
+Sandbox evidence for the north rule's two-cluster-size scaling criterion:
+the same signature+LSH+verify+CC job over the same input
+({r8['n_docs']:,} synthetic pages, seed 42) at two parallelism levels in
+fresh JVMs.
+
+| parallelism | signatures (s) | LSH+verify (s) | CC (s) | total (s) | docs/sec |
+|---|---|---|---|---|---|
+| local[8]  | {r8['t_signatures_sec']} | {r8['t_lsh_verify_sec']} | {r8['t_cc_sec']} | {r8['t_total_sec']} | {r8['docs_per_sec']} |
+| local[32] | {r32['t_signatures_sec']} | {r32['t_lsh_verify_sec']} | {r32['t_cc_sec']} | {r32['t_total_sec']} | {r32['docs_per_sec']} |
+
+**Scaling efficiency (8 -> 32 cores, 4x) = (T8/T32)/4 = {eff}**
+(north-rule target >= 0.8 N->4N).
+
+Pipeline output at both levels: {r8['n_verified_pairs']} verified pairs,
+{r8['n_clustered_docs']} clustered docs — identical at local[8] and
+local[32] ({r32['n_verified_pairs']} / {r32['n_clustered_docs']}),
+the determinism-across-parallelism invariant.
+
+## Extrapolation path to 10^12 docs
+
+Every stage is shuffle-bounded, not driver-bounded:
+- signatures: embarrassingly parallel map (no shuffle); scales with cores.
+- LSH: 1 shuffle (band group-by) + 1 join; bucket-size cap bounds the
+  worst-case join output per bucket at O(max_bucket^2) regardless of corpus
+  size; AQE skew-join splits residual partition imbalance.
+- CC: O(log^2) rounds of join+aggregate on the *pair* set (orders of
+  magnitude smaller than the corpus); per-round parquet checkpoint bounds
+  lineage.
+At 10^12 docs the dominant cost is the band shuffle: ~128 int32 + 1 int64
+per doc = ~0.5 KB/doc of signature data (vs ~4 KB/doc raw text, which never
+shuffles), i.e. ~500 TB corpus -> ~60 TB shuffled once.
+"""
+    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    if "--scaling-worker" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        inp = sys.argv[sys.argv.index("--input") + 1]
+        run_scaling_worker(cpus, inp)
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_default()

@@ -76,7 +76,7 @@ def compute_signatures(
     return hashed.select(
         "*",
         minhash_col(F.col("shingle_hashes"), cfg).alias("minhash"),
-        simhash_col(F.col("shingle_hashes"), cfg).alias("simhash"),
+        simhash_col("shingle_hashes", cfg).alias("simhash"),
     )
 
 

@@ -44,7 +44,7 @@ def test_simhash_parity_and_hamming(spark, cfg):
     hashes = [py_md5_60bit(f"sh{i}") for i in range(40)]
     expected = py_simhash(hashes, cfg.simhash_bits)
     df = spark.createDataFrame([(hashes,)], "h array<bigint>")
-    got = df.select(simhash_col(F.col("h"), cfg).alias("s")).collect()[0]["s"]
+    got = df.select(simhash_col("h", cfg).alias("s")).collect()[0]["s"]
     assert got == expected
     # hamming of a fingerprint with itself is 0; with one flipped bit, 1
     d2 = spark.createDataFrame([(expected, expected ^ 1)], "a long, b long")

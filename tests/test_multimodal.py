@@ -1,0 +1,63 @@
+"""Multimodal plumbing: schema, batching, corrupt-row tolerance, stub gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from duplicate_image_detector_spark.functions.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    extract_media_features,
+    py_decode_fake,
+)
+
+
+def _blob(w: int, h: int, payload: bytes = b"xyz") -> bytearray:
+    return bytearray(b"FAKE" + w.to_bytes(4, "big") + h.to_bytes(4, "big") + payload)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("img1", _blob(640, 480), "image"),
+        ("img2", _blob(1920, 1080), "image"),
+        ("bad", bytearray(b"NOTFAKE"), "image"),
+        ("empty", None, "audio"),
+    ]
+    return spark.createDataFrame(rows, "url string, media binary, media_type string")
+
+
+def test_decode_fake_roundtrip():
+    w, h, payload = py_decode_fake(bytes(_blob(12, 34, b"pp")))
+    assert (w, h, payload) == (12, 34, b"pp")
+
+
+def test_decode_media_fake_codec(spark, media_df):
+    out = {r["url"]: r for r in decode_media(media_df, codec="fake").collect()}
+    assert out["img1"]["width"] == 640 and out["img1"]["height"] == 480
+    assert out["img2"]["width"] == 1920
+    assert out["bad"]["valid"] is False and out["bad"]["width"] == 0
+    assert out["empty"]["valid"] is False and out["empty"]["n_bytes"] == 0
+    assert len(out["img1"]["sha256"]) == 64
+
+
+def test_decode_media_stub_raises(spark, media_df):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        decode_media(media_df, codec="stub").collect()
+    assert "NotImplementedError" in str(exc.value) or "not available" in str(exc.value)
+
+
+def test_feature_extraction_shape_and_determinism(spark, media_df):
+    feats = extract_media_features(
+        media_df.where("media is not null"), codec="fake"
+    ).toPandas()
+    assert set(feats.columns) == {"url", "feature"}
+    assert all(len(f) == FEATURE_DIM for f in feats["feature"])
+    again = extract_media_features(
+        media_df.where("media is not null"), codec="fake"
+    ).toPandas()
+    a = {u: list(f) for u, f in zip(feats["url"], feats["feature"])}
+    b = {u: list(f) for u, f in zip(again["url"], again["feature"])}
+    assert a == b

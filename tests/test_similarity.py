@@ -1,0 +1,72 @@
+"""Similarity search: brute-force sanity + ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from duplicate_image_detector_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    # 40 clusters of 5 nearby vectors -> meaningful neighbors
+    rows = []
+    vid = 0
+    for c in range(40):
+        center = rng.standard_normal(32)
+        for _ in range(5):
+            v = center + 0.05 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.persist()
+    df.count()
+    return df
+
+
+def test_cosine_topk_finds_cluster_neighbors(emb_df):
+    res = cosine_topk(emb_df, k=4).toPandas()
+    # each vector's 4 nearest should be its 4 cluster-mates
+    labels = {
+        r["vec_id"]: r["label"] for r in emb_df.select("vec_id", "label").collect()
+    }
+    correct = sum(
+        1 for _, r in res.iterrows()
+        if labels[r["vec_id"]] == labels[r["neighbor_id"]]
+    )
+    assert correct / len(res) > 0.95
+
+
+def test_cosine_topk_shape(emb_df):
+    res = cosine_topk(emb_df, k=4).toPandas()
+    assert set(res.columns) == {"vec_id", "neighbor_id", "cos", "rank"}
+    counts = res.groupby("vec_id")["rank"].agg(["count", "max"])
+    assert (counts["count"] == 4).all()
+    assert (counts["max"] == 4).all()
+    assert (res["cos"] <= 1.0000001).all()
+
+
+def test_ann_recall_vs_brute_force(emb_df):
+    brute = cosine_topk(emb_df, k=4).toPandas()
+    ann = ann_lsh_topk(emb_df, k=4, n_tables=8, n_bits=8).toPandas()
+    want = set(zip(brute["vec_id"], brute["neighbor_id"]))
+    got = set(zip(ann["vec_id"], ann["neighbor_id"]))
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+
+
+def test_ann_deterministic(emb_df):
+    a = ann_lsh_topk(emb_df, k=3).toPandas().sort_values(
+        ["vec_id", "rank"], ignore_index=True
+    )
+    b = ann_lsh_topk(emb_df, k=3).toPandas().sort_values(
+        ["vec_id", "rank"], ignore_index=True
+    )
+    assert a.equals(b)
