@@ -44,15 +44,20 @@ def lsh_candidate_pairs(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """signatures -> distinct candidate (id_a, id_b), id_a < id_b."""
     bands = explode_bands(sig, cfg)
 
-    stats = bands.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size"),
-        F.min("doc_id").alias("pivot_id"),
+    # filter to multi-member buckets BEFORE the join: at webtext scale the
+    # overwhelming majority of buckets are singletons, and dropping them
+    # here keeps them out of the join's shuffle entirely
+    stats = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(
+            F.count("*").alias("bucket_size"),
+            F.min("doc_id").alias("pivot_id"),
+        )
+        .where(F.col("bucket_size") >= 2)
     )
     annotated = bands.join(stats, ["band_id", "band_hash"])
 
-    normal = annotated.where(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket)
-    )
+    normal = annotated.where(F.col("bucket_size") <= cfg.max_bucket)
     left = normal.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
     right = normal.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
     joined = left.join(right, ["band_id", "band_hash"]).where(

@@ -97,13 +97,16 @@ def fingerprint_docs(
 
 def fingerprint_candidate_pairs(fps: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(doc_id, fp) -> candidate (id_a < id_b), bucket-capped like LSH."""
-    stats = fps.groupBy("fp").agg(
-        F.count("*").alias("bucket_size"), F.min("doc_id").alias("pivot_id")
+    stats = (
+        fps.groupBy("fp")
+        .agg(
+            F.count("*").alias("bucket_size"),
+            F.min("doc_id").alias("pivot_id"),
+        )
+        .where(F.col("bucket_size") >= 2)  # singletons never join
     )
     annotated = fps.join(stats, "fp")
-    normal = annotated.where(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket)
-    )
+    normal = annotated.where(F.col("bucket_size") <= cfg.max_bucket)
     left = normal.select("fp", F.col("doc_id").alias("id_a"))
     right = normal.select("fp", F.col("doc_id").alias("id_b"))
     joined = left.join(right, "fp").where(F.col("id_a") < F.col("id_b"))

@@ -63,6 +63,7 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     use_md5_hash: bool = False,
     enable_substring: bool = True,
+    exclude_exact: bool = False,
 ) -> PipelineResult:
     """pages(url, html|text, ...) -> PipelineResult.
 
@@ -70,6 +71,13 @@ def run_pipeline(
     Arrow-batched UDF (byte-identity invariant).  If both are present the
     stored ``text`` is trusted as ground truth (fixtures verify the UDF
     separately).
+
+    ``exclude_exact=True`` enables P3 candidate-space pruning (the
+    reference's 'both' mode): exact-duplicate group members other than the
+    representative skip the near/substring stages.  Final *clusters* are
+    identical (exact star edges reconnect them in CC — equivalence tested);
+    the explicit per-pair evidence between co-exact members is not
+    materialized, which is the point at scale.
     """
     ckpt = (
         CheckpointManager(spark, checkpoint_dir, cfg)
@@ -92,12 +100,28 @@ def run_pipeline(
 
     docs = ckpt.run("docs", _docs)
 
+    exact = ckpt.run("exact", lambda: exact_clusters(docs, cfg))
+
+    def _near_docs() -> DataFrame:
+        if not exclude_exact:
+            return docs
+        # P3 candidate-space pruning (the reference's 'both' mode,
+        # ref :1798-1810 / J6): drop the non-representative members of every
+        # exact group before the expensive near stage — their byte-identical
+        # representative stands in for them, and the exact star edges
+        # reconnect them in CC.  At webtext scale this typically removes
+        # ~30% of the corpus from the O(n log n) LSH stage.
+        dup_members = exact.where(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        )
+        return docs.join(dup_members, "doc_id", "left_anti")
+
+    near_docs = ckpt.run("near_docs", _near_docs) if exclude_exact else docs
+
     signatures = ckpt.run(
         "signatures",
-        lambda: compute_signatures(docs, cfg, use_md5_hash=use_md5_hash),
+        lambda: compute_signatures(near_docs, cfg, use_md5_hash=use_md5_hash),
     )
-
-    exact = ckpt.run("exact", lambda: exact_clusters(docs, cfg))
 
     candidates = ckpt.run(
         "candidates", lambda: lsh_candidate_pairs(signatures, cfg)
@@ -108,7 +132,7 @@ def run_pipeline(
     )
 
     if enable_substring:
-        substr = ckpt.run("substring", lambda: substring_pairs(docs, cfg))
+        substr = ckpt.run("substring", lambda: substring_pairs(near_docs, cfg))
     else:
         substr = None
 
