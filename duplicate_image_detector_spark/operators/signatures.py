@@ -3,12 +3,28 @@
 Analog of the reference's feature-extraction stage
 (/root/reference/duplicate-detector.py:1024-1098): where the reference runs a
 TorchScript model over image batches to get 1024-d vectors, we compute set
-signatures over k-word shingles — entirely with built-in column expressions
-(whole-stage codegen), no Python in the hot path.
+signatures over k-word shingles.
+
+Two implementations with IDENTICAL output (parity-tested):
+
+  * ``method='pandas'`` (default) — NumPy-vectorized ``mapInPandas``: the
+    128-permutation MinHash is one (128, n_shingles) int64 matrix op per
+    doc, SimHash one bit-unpack + majority per doc.  This is the analog of
+    the reference's batched NumPy/model forward (ref :1024-1098, blocked
+    matmul :1404-1415) and is the at-scale hot path: Spark does NOT codegen
+    higher-order-function lambdas, so the expression variant pays ~100ns of
+    interpreted eval per array element (measured: the HOF plan is >50x
+    slower on the 50k-doc bench corpus).
+  * ``method='sql'`` — pure column expressions; useful for streaming
+    (shared with streaming/incremental.py) and as a cross-check.
+
+The base shingle hash is md5-60bit (first 15 hex digits): portable across
+Python / Spark SQL / DuckDB, which is what lets both methods agree exactly
+and the DuckDB correctness oracle reproduce signatures bit-for-bit.
 
 Output schema (one row per doc that survives the min-length filter):
-    doc_id BIGINT, n_tokens INT, n_shingles INT, text_sha256 STRING,
-    shingle_hashes ARRAY<BIGINT> (distinct), minhash ARRAY<INT>,
+    doc_id BIGINT, text_sha256 STRING, n_tokens INT, n_shingles INT,
+    shingle_hashes ARRAY<BIGINT> (distinct, sorted), minhash ARRAY<INT>,
     simhash BIGINT
 
 ``shingle_hashes`` is kept because the verify stage (exact Jaccard) needs
@@ -19,6 +35,11 @@ downstream shuffle carries it (SURVEY §4 column-pruning note).
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -26,14 +47,89 @@ from duplicate_image_detector_spark.config import PipelineConfig
 from duplicate_image_detector_spark.functions.hashing import (
     minhash_col,
     shingle_md5_60bit_col,
-    shingle_xxhash64_col,
     simhash_col,
 )
 from duplicate_image_detector_spark.functions.text import (
+    py_shingles,
+    py_tokenize,
     shingles_col,
     text_sha256_col,
     words_col,
 )
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+SIGNATURE_SCHEMA = (
+    "doc_id bigint, text_sha256 string, n_tokens int, n_shingles int, "
+    "shingle_hashes array<bigint>, minhash array<int>, simhash bigint"
+)
+
+_U32 = np.int64(0xFFFFFFFF)
+
+
+def _signatures_gen(cfg: PipelineConfig):
+    """mapInPandas generator: (doc_id, text) batches -> signature rows."""
+    k = cfg.shingle_k
+    min_len = cfg.min_text_len
+    perms = np.asarray(cfg.perm_params(), dtype=np.int64)  # (n_perm, 2)
+    a_col = perms[:, 0:1]
+    b_col = perms[:, 1:2]
+    prime = np.int64(cfg.hash_prime)
+    bit_idx = np.arange(cfg.simhash_bits, dtype=np.int64)
+    bit_w = (np.int64(1) << bit_idx)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, shas, ntok, nsh, harr, mharr, sh64 = [], [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < min_len:
+                    continue
+                words = py_tokenize(text)
+                shingles = py_shingles(words, k)
+                if not shingles:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(s.encode()).digest()[:8], "big"
+                        )
+                        >> 4  # first 15 hex digits = top 60 bits
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                hs = np.unique(hs)  # distinct + sorted
+                # MinHash: (n_perm, n) universal hashes, min per row
+                h32 = hs & _U32
+                mh = ((a_col * h32[None, :] + b_col) % prime).min(axis=1)
+                # SimHash: bit-majority over the distinct hashes
+                bits = (hs[:, None] >> bit_idx[None, :]) & np.int64(1)
+                sums = (2 * bits - 1).sum(axis=0)
+                sim = int(bit_w[sums > 0].sum())
+                ids.append(int(doc_id))
+                shas.append(hashlib.sha256(text.encode()).hexdigest())
+                ntok.append(len(words))
+                nsh.append(len(shingles))
+                harr.append(hs.tolist())
+                mharr.append(mh.astype(np.int32).tolist())
+                sh64.append(sim)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "text_sha256": pd.Series(shas, dtype="object"),
+                    "n_tokens": pd.Series(ntok, dtype="int32"),
+                    "n_shingles": pd.Series(nsh, dtype="int32"),
+                    "shingle_hashes": pd.Series(harr, dtype="object"),
+                    "minhash": pd.Series(mharr, dtype="object"),
+                    "simhash": pd.Series(sh64, dtype="int64"),
+                }
+            )
+
+    return gen
 
 
 def compute_signatures(
@@ -41,19 +137,27 @@ def compute_signatures(
     cfg: PipelineConfig,
     id_col: str = "doc_id",
     text_col: str = "text",
-    use_md5_hash: bool = False,
+    method: str = "pandas",
+    use_md5_hash: bool = True,
     keep_shingle_strings: bool = False,
 ) -> DataFrame:
-    """docs(id, text) -> signatures.
-
-    ``use_md5_hash=True`` switches the base shingle hash to the 60-bit md5
-    variant that the DuckDB oracle can reproduce (slower; correctness gate
-    and tests).  The default xxhash64 path is the at-scale choice.
+    """docs(id, text) -> signatures (see module docstring).
 
     Rows with null/short text or fewer than one shingle are dropped (M2
     analog, ref :676-677 validity predicate) — never failed on (M6, ref
-    :948-949).
+    :948-949).  ``use_md5_hash`` exists for the 'sql' method only (False
+    selects xxhash64; the pandas method is always md5-60bit).
     """
+    if method == "pandas" and not keep_shingle_strings:
+        src = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).where(F.col("text").isNotNull())
+        return src.mapInPandas(_signatures_gen(cfg), schema=SIGNATURE_SCHEMA)
+
+    from duplicate_image_detector_spark.functions.hashing import (
+        shingle_xxhash64_col,
+    )
+
     w = words_col(F.col(text_col))
     base = docs.where(
         F.col(text_col).isNotNull()
@@ -70,8 +174,10 @@ def compute_signatures(
         "text_sha256",
         F.size("words").alias("n_tokens"),
         F.size("shingles").alias("n_shingles"),
-        *( [F.col("shingles")] if keep_shingle_strings else [] ),
-        F.array_distinct(hasher(F.col("shingles"))).alias("shingle_hashes"),
+        *([F.col("shingles")] if keep_shingle_strings else []),
+        F.array_sort(F.array_distinct(hasher(F.col("shingles")))).alias(
+            "shingle_hashes"
+        ),
     )
     return hashed.select(
         "*",
