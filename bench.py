@@ -114,20 +114,22 @@ def run_default() -> None:
 # scaling mode
 # ---------------------------------------------------------------------------
 
-def _ensure_corpus(n_docs: int = 50000) -> str:
-    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
-        return CORPUS
+def _ensure_corpus(n_docs: int = 500000) -> str:
+    corpus = os.path.join(BENCH_DIR, f"bench_corpus_{n_docs // 1000}k.parquet")
+    if os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        return corpus
     os.makedirs(BENCH_DIR, exist_ok=True)
-    from duplicate_image_detector_spark.sources.fixtures import generate_pages
+    from duplicate_image_detector_spark.sources.fixtures import (
+        generate_pages_spark,
+    )
 
-    print(f"generating {n_docs}-doc bench corpus ...", file=sys.stderr)
-    pages, _ = generate_pages(n_docs=n_docs, seed=42)
+    print(f"generating {n_docs}-doc bench corpus (distributed) ...", file=sys.stderr)
     spark = _spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.createDataFrame(pages[["url", "text"]])
-    df.repartition(64).write.mode("overwrite").parquet(CORPUS)
+    df = generate_pages_spark(spark, n_docs, seed=42, n_partitions=128)
+    df.select("url", "text").write.mode("overwrite").parquet(corpus)
     spark.stop()
-    return CORPUS
+    return corpus
 
 
 def run_scaling_worker(cpus: int, input_path: str) -> None:
@@ -145,6 +147,7 @@ def run_scaling_worker(cpus: int, input_path: str) -> None:
     from duplicate_image_detector_spark.operators.lsh import lsh_candidate_pairs
     from duplicate_image_detector_spark.operators.signatures import (
         compute_signatures,
+        shingle_sets_for,
     )
     from duplicate_image_detector_spark.operators.verify import verify_pairs
 
@@ -152,18 +155,38 @@ def run_scaling_worker(cpus: int, input_path: str) -> None:
     pages = spark.read.parquet(input_path)
     docs = pages.select(F.xxhash64("url").alias("doc_id"), "text").where(
         F.col("text").isNotNull() & (F.length("text") >= cfg.min_text_len)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = docs.count()
 
+    def sig_of(d):
+        return compute_signatures(d, cfg, include_shingles=False, hash_kind="poly")
+
+    def verify_of(d, sig, cands):
+        cand_ids = cands.select(F.col("id_a").alias("doc_id")).union(
+            cands.select(F.col("id_b").alias("doc_id"))
+        )
+        sets = shingle_sets_for(d, cand_ids, cfg, hash_kind="poly")
+        return verify_pairs(
+            cands, sig.select("doc_id", "simhash").join(sets, "doc_id"), cfg
+        )
+
+    # warmup: run the full path on a small slice so JVM codegen + Python
+    # worker startup are excluded from the steady-state throughput numbers
+    warm = docs.limit(2000)
+    wsig = sig_of(warm).persist(StorageLevel.MEMORY_AND_DISK)
+    wsig.count()
+    verify_of(warm, wsig, lsh_candidate_pairs(wsig, cfg)).count()
+    wsig.unpersist()
+
     t0 = time.time()
-    sig = compute_signatures(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sig_of(docs).persist(StorageLevel.MEMORY_AND_DISK)
     n_sig = sig.count()
     t_sig = time.time() - t0
 
     t1 = time.time()
-    verified = verify_pairs(lsh_candidate_pairs(sig, cfg), sig, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cands = lsh_candidate_pairs(sig, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    verified = verify_of(docs, sig, cands).persist(StorageLevel.MEMORY_AND_DISK)
     n_pairs = verified.count()
     t_lsh = time.time() - t1
 
@@ -172,7 +195,8 @@ def run_scaling_worker(cpus: int, input_path: str) -> None:
     n_nodes = comp.count()
     t_cc = time.time() - t2
 
-    total = t_sig + t_lsh + t_cc
+    # the north-rule scaling metric is signature-generation + LSH throughput
+    core = t_sig + t_lsh
     print(
         json.dumps(
             {
@@ -183,9 +207,10 @@ def run_scaling_worker(cpus: int, input_path: str) -> None:
                 "n_clustered_docs": n_nodes,
                 "t_signatures_sec": round(t_sig, 3),
                 "t_lsh_verify_sec": round(t_lsh, 3),
+                "t_sig_lsh_sec": round(core, 3),
                 "t_cc_sec": round(t_cc, 3),
-                "t_total_sec": round(total, 3),
-                "docs_per_sec": round(n_docs / total, 1),
+                "t_total_sec": round(core + t_cc, 3),
+                "docs_per_sec": round(n_docs / core, 1),
             }
         )
     )
@@ -206,7 +231,7 @@ def run_scaling() -> None:
         results[cpus] = json.loads(line)
         print(line, file=sys.stderr)
 
-    t8, t32 = results[8]["t_total_sec"], results[32]["t_total_sec"]
+    t8, t32 = results[8]["t_sig_lsh_sec"], results[32]["t_sig_lsh_sec"]
     eff = round((t8 / t32) / (32 / 8), 3)
     summary = {
         "metric": "scaling_efficiency_8_to_32",
@@ -227,17 +252,19 @@ def _write_baseline_md(results: dict, eff: float) -> None:
     md = f"""# BENCH/BASELINE.md — measured numbers
 
 Sandbox evidence for the north rule's two-cluster-size scaling criterion:
-the same signature+LSH+verify+CC job over the same input
-({r8['n_docs']:,} synthetic pages, seed 42) at two parallelism levels in
-fresh JVMs.
+the same signature+LSH+verify (+CC, reported separately) job over the same
+input ({r8['n_docs']:,} synthetic pages, seed 42, distributed generator) at
+two parallelism levels in fresh JVMs, after a 2k-doc warmup that excludes
+one-time JVM codegen / Python-worker startup from the steady-state numbers.
 
-| parallelism | signatures (s) | LSH+verify (s) | CC (s) | total (s) | docs/sec |
+| parallelism | signatures (s) | LSH+verify (s) | sig+LSH (s) | CC (s) | docs/sec (sig+LSH) |
 |---|---|---|---|---|---|
-| local[8]  | {r8['t_signatures_sec']} | {r8['t_lsh_verify_sec']} | {r8['t_cc_sec']} | {r8['t_total_sec']} | {r8['docs_per_sec']} |
-| local[32] | {r32['t_signatures_sec']} | {r32['t_lsh_verify_sec']} | {r32['t_cc_sec']} | {r32['t_total_sec']} | {r32['docs_per_sec']} |
+| local[8]  | {r8['t_signatures_sec']} | {r8['t_lsh_verify_sec']} | {r8['t_sig_lsh_sec']} | {r8['t_cc_sec']} | {r8['docs_per_sec']} |
+| local[32] | {r32['t_signatures_sec']} | {r32['t_lsh_verify_sec']} | {r32['t_sig_lsh_sec']} | {r32['t_cc_sec']} | {r32['docs_per_sec']} |
 
-**Scaling efficiency (8 -> 32 cores, 4x) = (T8/T32)/4 = {eff}**
-(north-rule target >= 0.8 N->4N).
+**Scaling efficiency (8 -> 32 cores, 4x) on signature+LSH throughput
+= (T8/T32)/4 = {eff}** (north-rule metric: "signature-generation + LSH
+throughput must scale with efficiency >= 0.8 from N to 4N").
 
 Pipeline output at both levels: {r8['n_verified_pairs']} verified pairs,
 {r8['n_clustered_docs']} clustered docs — identical at local[8] and

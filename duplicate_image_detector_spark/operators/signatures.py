@@ -60,15 +60,77 @@ from duplicate_image_detector_spark.functions.text import (
 if TYPE_CHECKING:
     import pandas as pd
 
-SIGNATURE_SCHEMA = (
+SIGNATURE_SCHEMA_FULL = (
     "doc_id bigint, text_sha256 string, n_tokens int, n_shingles int, "
     "shingle_hashes array<bigint>, minhash array<int>, simhash bigint"
 )
+SIGNATURE_SCHEMA_SLIM = (
+    "doc_id bigint, text_sha256 string, n_tokens int, n_shingles int, "
+    "minhash array<int>, simhash bigint"
+)
+SHINGLE_SETS_SCHEMA = "doc_id bigint, shingle_hashes array<bigint>"
 
 _U32 = np.int64(0xFFFFFFFF)
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio base, mod-2^64 wrap
 
 
-def _signatures_gen(cfg: PipelineConfig):
+class _ShingleHasher:
+    """Per-worker shingle hasher with a memoized token-hash table.
+
+    ``kind='md5'``  — md5-60bit of the shingle *string* (portable to Spark
+    SQL / DuckDB; the oracle-parity hash; one md5 per shingle).
+    ``kind='poly'`` — uint64-wrapping polynomial over md5-60bit *token*
+    hashes (one md5 per DISTINCT TOKEN, memoized across the worker's
+    lifetime, then k fused numpy ops per doc).  ~10x fewer md5 calls and
+    no per-shingle string building; the at-scale default.  Hash identity
+    differs from 'md5' but every downstream value (Jaccard = set-count
+    ratio, candidates, clusters) is hash-choice-invariant.
+    """
+
+    def __init__(self, kind: str, k: int):
+        self.kind = kind
+        self.k = k
+        self._tok: dict[str, int] = {}
+
+    def _token_hashes(self, words: list[str]) -> np.ndarray:
+        tok = self._tok
+        if len(tok) > 2_000_000:  # bound worker memory on huge vocabularies
+            tok.clear()
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = tok.get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                tok[w] = h
+            out[i] = h
+        return out
+
+    def doc_hashes(self, words: list[str]) -> np.ndarray | None:
+        """distinct sorted int64 shingle hashes for one doc, or None."""
+        k = self.k
+        if len(words) < k:
+            return None
+        if self.kind == "md5":
+            shingles = py_shingles(words, k)
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                    >> 4
+                    for s in shingles
+                ),
+                dtype=np.int64,
+                count=len(shingles),
+            )
+            return np.unique(hs)
+        th = self._token_hashes(words)
+        m = len(words) - k + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h = h * _POLY_B + th[j : j + m]  # wraps mod 2^64 (intended)
+        return np.unique(h.view(np.int64))
+
+
+def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str):
     """mapInPandas generator: (doc_id, text) batches -> signature rows."""
     k = cfg.shingle_k
     min_len = cfg.min_text_len
@@ -82,27 +144,16 @@ def _signatures_gen(cfg: PipelineConfig):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        hasher = _ShingleHasher(hash_kind, k)
         for pdf in batches:
             ids, shas, ntok, nsh, harr, mharr, sh64 = [], [], [], [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None or len(text) < min_len:
                     continue
                 words = py_tokenize(text)
-                shingles = py_shingles(words, k)
-                if not shingles:
+                hs = hasher.doc_hashes(words)
+                if hs is None or len(hs) == 0:
                     continue
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(s.encode()).digest()[:8], "big"
-                        )
-                        >> 4  # first 15 hex digits = top 60 bits
-                        for s in shingles
-                    ),
-                    dtype=np.int64,
-                    count=len(shingles),
-                )
-                hs = np.unique(hs)  # distinct + sorted
                 # MinHash: (n_perm, n) universal hashes, min per row
                 h32 = hs & _U32
                 mh = ((a_col * h32[None, :] + b_col) % prime).min(axis=1)
@@ -113,23 +164,70 @@ def _signatures_gen(cfg: PipelineConfig):
                 ids.append(int(doc_id))
                 shas.append(hashlib.sha256(text.encode()).hexdigest())
                 ntok.append(len(words))
-                nsh.append(len(shingles))
-                harr.append(hs.tolist())
+                nsh.append(len(hs))
+                if include_shingles:
+                    harr.append(hs.tolist())
                 mharr.append(mh.astype(np.int32).tolist())
                 sh64.append(sim)
+            data = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "text_sha256": pd.Series(shas, dtype="object"),
+                "n_tokens": pd.Series(ntok, dtype="int32"),
+                "n_shingles": pd.Series(nsh, dtype="int32"),
+            }
+            if include_shingles:
+                data["shingle_hashes"] = pd.Series(harr, dtype="object")
+            data["minhash"] = pd.Series(mharr, dtype="object")
+            data["simhash"] = pd.Series(sh64, dtype="int64")
+            yield pd.DataFrame(data)
+
+    return gen
+
+
+def shingle_sets_for(
+    docs: DataFrame,
+    doc_ids: DataFrame,
+    cfg: PipelineConfig,
+    hash_kind: str = "poly",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shingle_hashes) for the given doc ids only.
+
+    The verify stage calls this with the candidate-doc set, so full shingle
+    arrays exist only for the (small) fraction of the corpus that actually
+    reached a candidate pair — the distributed analog of the reference
+    re-reading image pixels inside its verification workers
+    (/root/reference/duplicate-detector.py:1251-1252) instead of keeping
+    them resident.
+    """
+    k = cfg.shingle_k
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        hasher = _ShingleHasher(hash_kind, k)
+        for pdf in batches:
+            ids, harr = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                hs = hasher.doc_hashes(py_tokenize(text))
+                if hs is None or len(hs) == 0:
+                    continue
+                ids.append(int(doc_id))
+                harr.append(hs.tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "text_sha256": pd.Series(shas, dtype="object"),
-                    "n_tokens": pd.Series(ntok, dtype="int32"),
-                    "n_shingles": pd.Series(nsh, dtype="int32"),
                     "shingle_hashes": pd.Series(harr, dtype="object"),
-                    "minhash": pd.Series(mharr, dtype="object"),
-                    "simhash": pd.Series(sh64, dtype="int64"),
                 }
             )
 
-    return gen
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(doc_ids.select("doc_id").distinct(), "doc_id", "left_semi")
+    return src.mapInPandas(gen, schema=SHINGLE_SETS_SCHEMA)
 
 
 def compute_signatures(
@@ -140,19 +238,29 @@ def compute_signatures(
     method: str = "pandas",
     use_md5_hash: bool = True,
     keep_shingle_strings: bool = False,
+    include_shingles: bool = True,
+    hash_kind: str = "md5",
 ) -> DataFrame:
     """docs(id, text) -> signatures (see module docstring).
 
     Rows with null/short text or fewer than one shingle are dropped (M2
     analog, ref :676-677 validity predicate) — never failed on (M6, ref
     :948-949).  ``use_md5_hash`` exists for the 'sql' method only (False
-    selects xxhash64; the pandas method is always md5-60bit).
+    selects xxhash64; the pandas method's hash is ``hash_kind``).
+    ``include_shingles=False`` omits the shingle-hash arrays (~8x smaller
+    rows); the verify stage then materializes sets for candidate docs only
+    via ``shingle_sets_for``.
     """
     if method == "pandas" and not keep_shingle_strings:
         src = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).where(F.col("text").isNotNull())
-        return src.mapInPandas(_signatures_gen(cfg), schema=SIGNATURE_SCHEMA)
+        schema = (
+            SIGNATURE_SCHEMA_FULL if include_shingles else SIGNATURE_SCHEMA_SLIM
+        )
+        return src.mapInPandas(
+            _signatures_gen(cfg, include_shingles, hash_kind), schema=schema
+        )
 
     from duplicate_image_detector_spark.functions.hashing import (
         shingle_xxhash64_col,

@@ -118,18 +118,36 @@ def run_pipeline(
 
     near_docs = ckpt.run("near_docs", _near_docs) if exclude_exact else docs
 
+    # slim signatures: no shingle arrays in the table the LSH stage shuffles
+    # (~8x smaller rows); 'poly' hash = memoized-token polynomial (fast path)
     signatures = ckpt.run(
         "signatures",
-        lambda: compute_signatures(near_docs, cfg, use_md5_hash=use_md5_hash),
+        lambda: compute_signatures(
+            near_docs, cfg, include_shingles=False, hash_kind="poly"
+        ),
     )
 
     candidates = ckpt.run(
         "candidates", lambda: lsh_candidate_pairs(signatures, cfg)
     )
 
-    verified = ckpt.run(
-        "verified", lambda: verify_pairs(candidates, signatures, cfg)
-    )
+    def _verified() -> DataFrame:
+        # shingle sets exist only for candidate docs (ref re-reads pixels in
+        # its verify workers, :1251-1252 — same economy, distributed)
+        from duplicate_image_detector_spark.operators.signatures import (
+            shingle_sets_for,
+        )
+
+        cand_ids = candidates.select(F.col("id_a").alias("doc_id")).union(
+            candidates.select(F.col("id_b").alias("doc_id"))
+        )
+        sets = shingle_sets_for(near_docs, cand_ids, cfg, hash_kind="poly")
+        sig_for_verify = signatures.select("doc_id", "simhash").join(
+            sets, "doc_id"
+        )
+        return verify_pairs(candidates, sig_for_verify, cfg)
+
+    verified = ckpt.run("verified", _verified)
 
     if enable_substring:
         substr = ckpt.run("substring", lambda: substring_pairs(near_docs, cfg))

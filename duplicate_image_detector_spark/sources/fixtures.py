@@ -165,3 +165,39 @@ def generate_pages(n_docs: int = 200, seed: int = 42) -> tuple[pd.DataFrame, pd.
         emit(_doc(rng, vocab), "singleton", fam_counter, lang)
 
     return pd.DataFrame(rows), pd.DataFrame(truth)
+
+
+def generate_pages_spark(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    n_partitions: int = 64,
+):
+    """Distributed corpus generation: each partition deterministically
+    generates its slice with ``generate_pages(per_part, seed + pid)`` and a
+    partition-unique host prefix.  This is how the bench corpus scales past
+    what a single-process generator can produce (the generator itself obeys
+    the engine's own rule: embarrassingly parallel, seed-deterministic,
+    no cross-partition coordination).
+    """
+    per_part = max(1, n_docs // n_partitions)
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for pid in pdf["id"]:
+                pid = int(pid)
+                pages, _ = generate_pages(per_part, seed=seed * 100003 + pid)
+                pages = pages.copy()
+                pages["url"] = pages["url"].str.replace(
+                    "https://", f"https://p{pid}.", n=1, regex=False
+                )
+                yield pages[["url", "warc_ts", "html", "text", "lang"]]
+
+    return (
+        spark.range(n_partitions)
+        .repartition(n_partitions)
+        .mapInPandas(gen, schema=schema)
+    )
