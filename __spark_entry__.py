@@ -315,6 +315,39 @@ def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix (fixed value list so the
+    output schema is stable; nulls filled to 0 to match conditional-agg
+    semantics)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup: order counts + exact-decimal revenue by (priority, month)
+    with subtotals and a grand total."""
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month")
+    return (
+        o.select(F.col("o_orderpriority").alias("priority"), month, "o_totalprice")
+        .rollup("priority", "month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: near-dup clusters."""
     return q_near_dup_clusters(spark, "/root/testdata/sf0.001")
@@ -343,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "events_props_agg": q_events_props_agg,
         "orders_monthly": q_orders_monthly,
+        "events_pivot": q_events_pivot,
+        "orders_rollup": q_orders_rollup,
         "dup_stats": q_dup_stats,
     }
 
@@ -601,6 +636,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,"
             " CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue"
             " FROM orders GROUP BY 1"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"count(*) FILTER (WHERE event_type = '{t}') AS \"{t}\""
+                for t in _EVENT_TYPES
+            )
+            + " FROM events GROUP BY user_id"
+        ),
+        "orders_rollup": (
+            "SELECT o_orderpriority AS priority,"
+            " strftime(o_orderdate, '%Y-%m') AS month,"
+            " count(*) AS n_orders,"
+            " CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue"
+            " FROM orders GROUP BY ROLLUP (priority, month)"
         ),
         "dup_stats": f"""
 WITH jp AS ({_JACCARD_PAIRS})

@@ -130,8 +130,28 @@ class _ShingleHasher:
         return np.unique(h.view(np.int64))
 
 
+def _list_array(flat: np.ndarray, lengths: list[int], pa_type):
+    """Arrow list array from a flat value buffer + per-row lengths —
+    no per-element Python objects."""
+    import pyarrow as pa
+
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(flat, type=pa_type)
+    )
+
+
 def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str):
-    """mapInPandas generator: (doc_id, text) batches -> signature rows."""
+    """mapInArrow generator: (doc_id, text) batches -> signature rows.
+
+    Emits Arrow record batches built from flat NumPy buffers (ListArray
+    offsets), never per-element Python lists: at 32 concurrent workers the
+    PyObject churn of ``.tolist()`` rows dominated memory bandwidth and
+    collapsed multi-core scaling.
+    """
+    import pyarrow as pa
+
     k = cfg.shingle_k
     min_len = cfg.min_text_len
     perms = np.asarray(cfg.perm_params(), dtype=np.int64)  # (n_perm, 2)
@@ -141,45 +161,69 @@ def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str)
     bit_idx = np.arange(cfg.simhash_bits, dtype=np.int64)
     bit_w = (np.int64(1) << bit_idx)
 
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    fields = [
+        pa.field("doc_id", pa.int64()),
+        pa.field("text_sha256", pa.string()),
+        pa.field("n_tokens", pa.int32()),
+        pa.field("n_shingles", pa.int32()),
+    ]
+    if include_shingles:
+        fields.append(pa.field("shingle_hashes", pa.list_(pa.int64())))
+    fields += [
+        pa.field("minhash", pa.list_(pa.int32())),
+        pa.field("simhash", pa.int64()),
+    ]
+    schema = pa.schema(fields)
 
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         hasher = _ShingleHasher(hash_kind, k)
-        for pdf in batches:
-            ids, shas, ntok, nsh, harr, mharr, sh64 = [], [], [], [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("text").to_pylist()
+            ids, shas, ntok, nsh, sh64 = [], [], [], [], []
+            hs_chunks: list[np.ndarray] = []
+            mh_rows: list[np.ndarray] = []
+            for doc_id, text in zip(doc_ids, texts):
                 if text is None or len(text) < min_len:
                     continue
                 words = py_tokenize(text)
                 hs = hasher.doc_hashes(words)
                 if hs is None or len(hs) == 0:
                     continue
-                # MinHash: (n_perm, n) universal hashes, min per row
                 h32 = hs & _U32
                 mh = ((a_col * h32[None, :] + b_col) % prime).min(axis=1)
-                # SimHash: bit-majority over the distinct hashes
                 bits = (hs[:, None] >> bit_idx[None, :]) & np.int64(1)
                 sums = (2 * bits - 1).sum(axis=0)
-                sim = int(bit_w[sums > 0].sum())
                 ids.append(int(doc_id))
                 shas.append(hashlib.sha256(text.encode()).hexdigest())
                 ntok.append(len(words))
                 nsh.append(len(hs))
                 if include_shingles:
-                    harr.append(hs.tolist())
-                mharr.append(mh.astype(np.int32).tolist())
-                sh64.append(sim)
-            data = {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "text_sha256": pd.Series(shas, dtype="object"),
-                "n_tokens": pd.Series(ntok, dtype="int32"),
-                "n_shingles": pd.Series(nsh, dtype="int32"),
-            }
+                    hs_chunks.append(hs)
+                mh_rows.append(mh.astype(np.int32))
+                sh64.append(int(bit_w[sums > 0].sum()))
+            n = len(ids)
+            cols = [
+                pa.array(np.asarray(ids, dtype=np.int64)),
+                pa.array(shas, type=pa.string()),
+                pa.array(np.asarray(ntok, dtype=np.int32)),
+                pa.array(np.asarray(nsh, dtype=np.int32)),
+            ]
             if include_shingles:
-                data["shingle_hashes"] = pd.Series(harr, dtype="object")
-            data["minhash"] = pd.Series(mharr, dtype="object")
-            data["simhash"] = pd.Series(sh64, dtype="int64")
-            yield pd.DataFrame(data)
+                flat = (
+                    np.concatenate(hs_chunks)
+                    if hs_chunks
+                    else np.empty(0, dtype=np.int64)
+                )
+                cols.append(_list_array(flat, nsh, pa.int64()))
+            mh_flat = (
+                np.concatenate(mh_rows)
+                if mh_rows
+                else np.empty(0, dtype=np.int32)
+            )
+            cols.append(_list_array(mh_flat, [len(perms)] * n, pa.int32()))
+            cols.append(pa.array(np.asarray(sh64, dtype=np.int64)))
+            yield pa.RecordBatch.from_arrays(cols, schema=schema)
 
     return gen
 
@@ -201,33 +245,52 @@ def shingle_sets_for(
     (/root/reference/duplicate-detector.py:1251-1252) instead of keeping
     them resident.
     """
+    import pyarrow as pa
+
     k = cfg.shingle_k
+    schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("shingle_hashes", pa.list_(pa.int64())),
+        ]
+    )
 
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         hasher = _ShingleHasher(hash_kind, k)
-        for pdf in batches:
-            ids, harr = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        for batch in batches:
+            doc_ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("text").to_pylist()
+            ids, lens = [], []
+            chunks: list[np.ndarray] = []
+            for doc_id, text in zip(doc_ids_np, texts):
                 if text is None:
                     continue
                 hs = hasher.doc_hashes(py_tokenize(text))
                 if hs is None or len(hs) == 0:
                     continue
                 ids.append(int(doc_id))
-                harr.append(hs.tolist())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "shingle_hashes": pd.Series(harr, dtype="object"),
-                }
+                lens.append(len(hs))
+                chunks.append(hs)
+            flat = (
+                np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(ids, dtype=np.int64)),
+                    _list_array(flat, lens, pa.int64()),
+                ],
+                schema=schema,
             )
 
+    # candidate-id set is orders of magnitude smaller than the corpus:
+    # broadcast it so the semi-join never shuffles the text column.  (At a
+    # scale where the candidate set itself is huge, drop the hint and let
+    # AQE pick a sort-merge semi-join.)
+    ids = F.broadcast(doc_ids.select("doc_id").distinct())
     src = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).join(doc_ids.select("doc_id").distinct(), "doc_id", "left_semi")
-    return src.mapInPandas(gen, schema=SHINGLE_SETS_SCHEMA)
+    ).join(ids, "doc_id", "left_semi")
+    return src.mapInArrow(gen, schema=SHINGLE_SETS_SCHEMA)
 
 
 def compute_signatures(
@@ -258,7 +321,7 @@ def compute_signatures(
         schema = (
             SIGNATURE_SCHEMA_FULL if include_shingles else SIGNATURE_SCHEMA_SLIM
         )
-        return src.mapInPandas(
+        return src.mapInArrow(
             _signatures_gen(cfg, include_shingles, hash_kind), schema=schema
         )
 

@@ -97,21 +97,23 @@ def fingerprint_docs(
 
 def fingerprint_candidate_pairs(fps: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(doc_id, fp) -> candidate (id_a < id_b), bucket-capped like LSH."""
-    stats = (
-        fps.groupBy("fp")
-        .agg(
-            F.count("*").alias("bucket_size"),
-            F.min("doc_id").alias("pivot_id"),
-        )
-        .where(F.col("bucket_size") >= 2)  # singletons never join
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    w = Window.partitionBy("fp")
+    multi = (
+        fps.withColumn("bucket_size", F.count("*").over(w))
+        .where(F.col("bucket_size") >= 2)  # singleton fps never join
+        .withColumn("pivot_id", F.min("doc_id").over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    annotated = fps.join(stats, "fp")
-    normal = annotated.where(F.col("bucket_size") <= cfg.max_bucket)
+    multi.count()  # eager: both self-join sides read the cache
+    normal = multi.where(F.col("bucket_size") <= cfg.max_bucket)
     left = normal.select("fp", F.col("doc_id").alias("id_a"))
     right = normal.select("fp", F.col("doc_id").alias("id_b"))
     joined = left.join(right, "fp").where(F.col("id_a") < F.col("id_b"))
     pivoted = (
-        annotated.where(F.col("bucket_size") > cfg.max_bucket)
+        multi.where(F.col("bucket_size") > cfg.max_bucket)
         .where(F.col("doc_id") != F.col("pivot_id"))
         .select(F.col("pivot_id").alias("id_a"), F.col("doc_id").alias("id_b"))
     )

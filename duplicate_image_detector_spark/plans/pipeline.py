@@ -131,7 +131,7 @@ def run_pipeline(
         "candidates", lambda: lsh_candidate_pairs(signatures, cfg)
     )
 
-    def _verified() -> DataFrame:
+    def _shingle_sets() -> DataFrame:
         # shingle sets exist only for candidate docs (ref re-reads pixels in
         # its verify workers, :1251-1252 — same economy, distributed)
         from duplicate_image_detector_spark.operators.signatures import (
@@ -141,9 +141,15 @@ def run_pipeline(
         cand_ids = candidates.select(F.col("id_a").alias("doc_id")).union(
             candidates.select(F.col("id_b").alias("doc_id"))
         )
-        sets = shingle_sets_for(near_docs, cand_ids, cfg, hash_kind="poly")
+        return shingle_sets_for(near_docs, cand_ids, cfg, hash_kind="poly")
+
+    # own checkpoint stage: verify joins it on BOTH pair sides, and without
+    # materialization the candidate-docs Python pass would run twice
+    shingle_sets = ckpt.run("shingle_sets", _shingle_sets)
+
+    def _verified() -> DataFrame:
         sig_for_verify = signatures.select("doc_id", "simhash").join(
-            sets, "doc_id"
+            shingle_sets, "doc_id"
         )
         return verify_pairs(candidates, sig_for_verify, cfg)
 

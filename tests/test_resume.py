@@ -31,13 +31,15 @@ def test_resume_skips_completed_stages(spark, tiny_pages_df, cfg, tmp_path):
 
     # simulate a crash after "candidates": drop later stage markers
     mgr = CheckpointManager(spark, base, c)
-    for stage in ("verified", "edges", "components", "clusters"):
+    for stage in ("shingle_sets", "verified", "edges", "components", "clusters"):
         mgr.invalidate(stage)
 
     r2 = run_pipeline(spark, tiny_pages_df, c, checkpoint_dir=base, enable_substring=False)
     assert _cluster_set(r2) == full
     assert set(r2.ckpt.resumed_stages) == {"docs", "signatures", "exact", "candidates"}
-    assert set(r2.ckpt.computed_stages) == {"verified", "edges", "components", "clusters"}
+    assert set(r2.ckpt.computed_stages) == {
+        "shingle_sets", "verified", "edges", "components", "clusters"
+    }
 
     # a third run resumes everything
     r3 = run_pipeline(spark, tiny_pages_df, c, checkpoint_dir=base, enable_substring=False)
