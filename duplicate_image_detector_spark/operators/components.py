@@ -92,13 +92,19 @@ def _truncate(df: DataFrame, work_dir: str, it: int) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, work_dir: str | None = None
+    edges: DataFrame,
+    max_iter: int = 50,
+    work_dir: str | None = None,
+    truncate_every: int = 3,
 ) -> DataFrame:
     """edges(id_a, id_b) -> (doc_id, cluster_id = component min).
 
     Only nodes that appear in an edge are returned (singletons are the
     caller's concern, as in the reference where ungrouped images simply get
-    no group_id).
+    no group_id).  Lineage is truncated through parquet every
+    ``truncate_every`` iterations — frequent enough to bound plan growth,
+    sparse enough that small inputs (duplicate clusters converge in ~4-6
+    rounds) pay only 1-2 round-trips.
     """
     import tempfile
 
@@ -111,14 +117,27 @@ def connected_components(
         work_dir,
         0,
     )
+    from pyspark.storagelevel import StorageLevel
+
     prev_sig: tuple[int, int] | None = None
+    cached: list[DataFrame] = []
     for it in range(max_iter):
-        nxt = _truncate(_small_star(_large_star(cur)), work_dir, it + 1)
+        # persist every round: the star steps reference their input 3-4
+        # times (union + window/groupBy + join) and would otherwise
+        # recompute the whole chain each time.  The checksum action
+        # materializes the cache; parquet round-trips every
+        # ``truncate_every`` rounds keep the *plan* bounded too.
+        nxt = _small_star(_large_star(cur)).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(nxt)
+        if (it + 1) % truncate_every == 0:
+            nxt = _truncate(nxt, work_dir, it + 1)
         sig = _checksum(nxt)
         cur = nxt
         if sig == prev_sig:
             break
         prev_sig = sig
+    for df in cached[:-1]:
+        df.unpersist()
     # star forest: u -> v (= component min); roots appear only on the v side
     members = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = cur.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
