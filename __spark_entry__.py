@@ -20,10 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duplicate_image_detector_spark.config import PipelineConfig
-from duplicate_image_detector_spark.functions.text import (
-    shingles_col,
-    words_col,
-)
 from duplicate_image_detector_spark.functions.textstats import (
     STOPWORDS,
     fingerprint_cols,
@@ -36,9 +32,12 @@ from duplicate_image_detector_spark.operators.components import (
 )
 from duplicate_image_detector_spark.operators.exact import exact_clusters
 from duplicate_image_detector_spark.operators.lsh import lsh_candidate_pairs
+from duplicate_image_detector_spark.operators.ngram import ngram_jaccard_pairs
 from duplicate_image_detector_spark.operators.signatures import (
     compute_signatures,
-    jaccard_col,
+)
+from duplicate_image_detector_spark.operators.simhash import (
+    simhash_hamming_pairs,
 )
 from duplicate_image_detector_spark.operators.similarity import (
     ann_lsh_topk,
@@ -72,33 +71,24 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sig_gate(spark: SparkSession, sf_dir: str, md5: bool = False) -> DataFrame:
+def _sig_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     # signatures feed both the LSH join and the verify joins — persist so
-    # the 128-permutation computation runs once (S8 cache analog)
-    return compute_signatures(
-        _docs(spark, sf_dir), CFG_GATE, use_md5_hash=md5
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the 128-permutation computation runs once (S8 cache analog).
+    # hash_kind='md5' (default): the oracle-portable md5-60bit base hash.
+    return compute_signatures(_docs(spark, sf_dir), CFG_GATE).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact Jaccard self-join on shingle *strings* — the
-    small-scale oracle path (SURVEY J1 note)."""
-    d = _docs(spark, sf_dir).where(
-        F.col("text").isNotNull() & (F.length("text") >= CFG.min_text_len)
-    )
-    sh = d.select(
-        "doc_id",
-        shingles_col(words_col(F.col("text")), CFG.shingle_k).alias("sh"),
-    ).where(F.size("sh") > 0)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_sb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    out = pairs.select(
-        "id_a", "id_b", jaccard_col(F.col("_sa"), F.col("_sb")).alias("jaccard")
-    )
-    return out.where(F.col("jaccard") >= CFG.jaccard_threshold)
+    """EXACT Jaccard pairs via the inverted shingle index (explode ->
+    equi-self-join on shingle hash -> per-pair intersection count ->
+    Jaccard from set sizes).  Sub-quadratic production path — no
+    CartesianProduct node anywhere in the plan; Jaccard is integer-derived,
+    so it is bit-exact vs the DuckDB string-join oracle."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), CFG)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,22 +107,89 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs SimHash Hamming <= max over the md5-60bit base hash (the
-    oracle-reproducible hash variant)."""
-    sig = _sig_gate(spark, sf_dir, md5=True).select("doc_id", "simhash")
-    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
-    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    out = pairs.select(
+    """SimHash Hamming <= max over the md5-60bit base hash via EXACT
+    pigeonhole banding (4 x 15-bit chunk equi-joins + bit_count verify) —
+    identical output to the all-pairs crossJoin, no cartesian node."""
+    sig = _sig_gate(spark, sf_dir).select("doc_id", "simhash")
+    return simhash_hamming_pairs(sig, CFG)
+
+
+def q_integrated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — the reference's 'integrated' mode (metadata-bonus scoring +
+    triple predicate, ref duplicate-detector.py:1438-1530) over exact
+    Jaccard pairs pre-thresholded at 0.80 (below the integrated floor
+    0.8588) with (lang, source) as the metadata key."""
+    from dataclasses import replace
+
+    from duplicate_image_detector_spark.operators.integrated import (
+        integrated_pairs,
+        metadata_key_col,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pre = ngram_jaccard_pairs(docs, replace(CFG, jaccard_threshold=0.80))
+    meta = docs.select(
+        "doc_id",
+        metadata_key_col(F.col("lang"), F.col("source")).alias("meta_key"),
+    )
+    out = integrated_pairs(pre, meta)
+    return out.select(
         "id_a",
         "id_b",
-        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int").alias("hamming"),
+        "jaccard",
+        "metadata_match",
+        "integrated_score",
+        F.col("has_metadata_bonus").cast("int").alias("has_metadata_bonus"),
     )
-    return out.where(F.col("hamming") <= CFG.simhash_hamming_max)
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_pairs(_docs(spark, sf_dir), CFG).select("id_a", "id_b")
+
+
+def q_best_pair_per_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — for each doc in the exact near-dup pair set, its strongest
+    incident pair and that pair's score (ref _get_member_details
+    :1945-1964); ties broken toward the smaller partner id."""
+    from pyspark.sql import Window
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("other"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("other"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("other"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("other").alias("best_match_id"),
+            F.col("jaccard").alias("best_score"),
+        )
+    )
+
+
+def q_cluster_members_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/W2 serving read over the engine's OWN clusters output: per
+    near-dup cluster, the top-3 members ordered representative-first then
+    doc_id (the reference's group page, ref :2341-2372 / :2491-2494)."""
+    from pyspark.sql import Window
+
+    cc = q_near_dup_clusters(spark, sf_dir)
+    is_rep = (F.col("doc_id") == F.col("cluster_id")).cast("int")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(is_rep), F.asc("doc_id")
+    )
+    return (
+        cc.withColumn("is_rep", is_rep)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("cluster_id", "doc_id", "is_rep", "rank")
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +234,23 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(blob).cast("long").alias("n_bytes"),
         F.sha2(blob, 256).alias("sha"),
+    )
+
+
+def q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 + §2.8 encoding scalars: format_string label (the reference's
+    format_path_display, ref :1928), base64 thumbnail-payload analog
+    (ref :2182, 2622) with an unbase64 round-trip check."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    head = F.substring(F.col("text"), 1, 32)
+    b64 = F.base64(F.encode(head, "UTF-8"))
+    return d.select(
+        "doc_id",
+        F.format_string(
+            "doc-%d [%s]", F.col("doc_id"), F.coalesce(F.col("lang"), F.lit("?"))
+        ).alias("label"),
+        b64.alias("preview_b64"),
+        (F.decode(F.unbase64(b64), "UTF-8") == head).cast("int").alias("roundtrip_ok"),
     )
 
 
@@ -303,15 +377,14 @@ def q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global counters over the near-dup pair set (A7/A8 analog)."""
+    """Global counters over the near-dup pair set (A7/A8 analog) — ONE
+    distributed aggregation (no separate driver actions): pair endpoints
+    exploded, pairs counted as rows/2, docs as a distinct count."""
     pairs = q_ngram_jaccard_pairs(spark, sf_dir)
-    docs = pairs.select(F.col("id_a").alias("d")).union(
-        pairs.select(F.col("id_b").alias("d"))
-    )
-    n_pairs = pairs.count()
-    n_docs = docs.distinct().count()
-    return spark.createDataFrame(
-        [(n_pairs, n_docs)], "n_pairs bigint, n_docs_in_pairs bigint"
+    ends = pairs.select(F.explode(F.array("id_a", "id_b")).alias("d"))
+    return ends.agg(
+        (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+        F.countDistinct("d").alias("n_docs_in_pairs"),
     )
 
 
@@ -360,12 +433,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "integrated_pairs": q_integrated_pairs,
         "substring_pairs": q_substring_pairs,
+        "best_pair_per_member": q_best_pair_per_member,
+        "cluster_members_topk": q_cluster_members_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "binary_meta": q_binary_meta,
+        "doc_preview": q_doc_preview,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "tpch_q1": q_tpch_q1,
@@ -407,7 +484,8 @@ def _shingles_cte(k: int = 5) -> str:
     return _SHINGLES.format(km1=k - 1, km2=k - 2, k=k)
 
 
-_JACCARD_PAIRS = f"""
+def _jaccard_pairs_sql(threshold: float = 0.86) -> str:
+    return f"""
 WITH words AS ({_words_cte()}),
 sh AS ({_shingles_cte()}),
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -422,7 +500,33 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.86
+WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= {threshold}
+"""
+
+
+_JACCARD_PAIRS = _jaccard_pairs_sql()
+
+_INTEGRATED_SQL = f"""
+WITH jp AS ({_jaccard_pairs_sql(0.8)}),
+m AS (
+  SELECT doc_id,
+         CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+              ELSE lang || chr(31) || source END AS k
+  FROM documents
+),
+scored AS (
+  SELECT id_a, id_b, jaccard,
+         CASE WHEN ma.k IS NOT NULL AND mb.k IS NOT NULL AND ma.k = mb.k
+              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS metadata_match
+  FROM jp JOIN m ma ON ma.doc_id = id_a JOIN m mb ON mb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard, metadata_match,
+       0.85::DOUBLE * jaccard + 0.15::DOUBLE * metadata_match AS integrated_score,
+       (metadata_match > 0.0)::INT AS has_metadata_bonus
+FROM scored
+WHERE (metadata_match = 1.0 AND jaccard >= 0.90::DOUBLE)
+   OR (metadata_match = 0.0 AND jaccard >= 0.86::DOUBLE)
+   OR (0.85::DOUBLE * jaccard + 0.15::DOUBLE * metadata_match >= 0.88::DOUBLE)
 """
 
 _CC_SQL = f"""
@@ -480,7 +584,7 @@ SELECT doc_id,
        length(text) ::BIGINT AS n_chars,
        len(w)::BIGINT AS n_tokens,
        len(list_distinct(w))::BIGINT AS n_distinct_tokens,
-       floor((list_sum(list_transform(w, x -> len(x)))::DOUBLE
+       floor((coalesce(list_sum(list_transform(w, x -> len(x))), 0)::DOUBLE
              / greatest(len(w), 1)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len
 FROM words JOIN documents USING (doc_id)
 """
@@ -491,7 +595,7 @@ SELECT doc_id,
   floor((
     0.4 * least(len(w)::DOUBLE / 400.0, 1.0)
     + 0.3 * (len(list_distinct(w))::DOUBLE / greatest(len(w), 1)::DOUBLE)
-    + 0.3 * least((list_sum(list_transform(w, x -> len(x)))::DOUBLE
+    + 0.3 * least((coalesce(list_sum(list_transform(w, x -> len(x))), 0)::DOUBLE
                    / greatest(len(w), 1)::DOUBLE) / 8.0, 1.0)
   ) * 1000000.0 + 0.5) / 1000000.0 AS quality
 FROM words
@@ -576,8 +680,8 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -594,7 +698,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _JACCARD_PAIRS,
         "near_dup_clusters": _CC_SQL,
         "simhash_hamming_pairs": _SIMHASH_SQL,
+        "integrated_pairs": _INTEGRATED_SQL,
         "substring_pairs": _SUBSTRING_SQL,
+        "best_pair_per_member": f"""
+WITH jp AS ({_JACCARD_PAIRS}),
+e AS (SELECT id_a AS doc_id, id_b AS other, jaccard FROM jp
+      UNION ALL SELECT id_b, id_a, jaccard FROM jp)
+SELECT doc_id, other AS best_match_id, jaccard AS best_score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, other) AS rn
+  FROM e
+) WHERE rn = 1
+""",
+        "cluster_members_topk": f"""
+SELECT cluster_id, doc_id, is_rep, rank FROM (
+  SELECT cluster_id, doc_id, (doc_id = cluster_id)::INT AS is_rep,
+         CAST(row_number() OVER (PARTITION BY cluster_id
+              ORDER BY (doc_id = cluster_id) DESC, doc_id) AS INTEGER) AS rank
+  FROM ({_CC_SQL})
+) WHERE rank <= 3
+""",
         "doc_fingerprint": _FINGERPRINT_SQL,
         "lang_id": _lang_sql(),
         "token_stats": _TOKEN_STATS_SQL,
@@ -602,6 +725,14 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
             "sha256(text) AS sha FROM documents WHERE text IS NOT NULL"
+        ),
+        "doc_preview": (
+            "SELECT doc_id,"
+            " printf('doc-%d [%s]', doc_id, coalesce(lang, '?')) AS label,"
+            " to_base64(encode(substr(text, 1, 32))) AS preview_b64,"
+            " (decode(from_base64(to_base64(encode(substr(text, 1, 32)))))"
+            "  = substr(text, 1, 32))::INT AS roundtrip_ok "
+            "FROM documents WHERE text IS NOT NULL"
         ),
         "cosine_topk": _COSINE_SQL,
         # ann_lsh_topk: approximate -> rows-only check, no oracle
@@ -629,7 +760,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_sessions": _SESSIONS_SQL,
         "events_props_agg": (
-            "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,"
+            "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,"
             " count(*) AS n FROM events GROUP BY event_type"
         ),
         "orders_monthly": (

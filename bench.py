@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_DIR = os.path.join(REPO, "BENCH")
-CORPUS = os.path.join(BENCH_DIR, "bench_corpus_50k.parquet")
 
 
 def _spark(cpus: str | int):
@@ -76,8 +75,13 @@ def run_default() -> None:
     timed("dedup_pipeline", flagship)
     timed("exact_dup_clusters", lambda: E.q_exact_dup_clusters(spark, sf_dir).count())
     timed("minhash_lsh_pairs", lambda: E.q_minhash_lsh_pairs(spark, sf_dir).count())
+    timed("near_dup_clusters", lambda: E.q_near_dup_clusters(spark, sf_dir).count())
+    timed("ngram_jaccard_pairs", lambda: E.q_ngram_jaccard_pairs(spark, sf_dir).count())
+    timed("integrated_pairs", lambda: E.q_integrated_pairs(spark, sf_dir).count())
     timed("simhash_hamming_pairs", lambda: E.q_simhash_hamming_pairs(spark, sf_dir).count())
     timed("substring_pairs", lambda: E.q_substring_pairs(spark, sf_dir).count())
+    timed("events_pivot", lambda: E.q_events_pivot(spark, sf_dir).count())
+    timed("orders_rollup", lambda: E.q_orders_rollup(spark, sf_dir).count())
     timed("cosine_topk", lambda: E.q_cosine_topk(spark, sf_dir).count())
     timed("ann_lsh_topk", lambda: E.q_ann_lsh_topk(spark, sf_dir).count())
     timed("token_stats", lambda: E.q_token_stats(spark, sf_dir).count())

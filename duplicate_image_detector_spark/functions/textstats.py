@@ -92,7 +92,10 @@ def fingerprint_cols(text: Column, k: int = 5, n_keep: int = 5) -> dict[str, Col
 
     sh = shingles_col(words_col(text), k)
     md5s = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    # try_element_at: a doc can pass the char-length filter yet have < k
+    # tokens (empty shingle array); plain element_at throws under Spark 4
+    # ANSI mode before any downstream isNotNull filter can run.
     return {
-        "min_fp": F.element_at(md5s, 1),
+        "min_fp": F.try_element_at(md5s, F.lit(1)),
         "bottom_fps": F.concat_ws(",", F.slice(md5s, 1, n_keep)),
     }

@@ -11,7 +11,7 @@ enumeration counter ids (ref :1932).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duplicate_image_detector_spark.config import PipelineConfig
@@ -26,24 +26,26 @@ def exact_clusters(
 ) -> DataFrame:
     """docs -> (doc_id, cluster_id, tier='exact') for duplicated texts.
 
-    Window-min over the hash key instead of groupBy+collect_list: no
-    per-group array materializes, so a pathological million-row exact group
-    (common in webtext: empty pages, error pages) costs O(rows), not a
-    driver-sized list (SURVEY §2.4 A1 scale note).
+    GroupBy + join-back instead of a ``Window.partitionBy(text_sha256)``
+    (and instead of groupBy+collect_list): the partial-aggregating groupBy
+    counts a pathological million-row exact group (common in webtext: empty
+    pages, error pages) map-side in parallel, where the window would route
+    the whole group through one task; no per-group array ever materializes
+    (SURVEY §2.4 A1 scale note).  The stats side holds only duplicated
+    hashes, so AQE broadcasts it and the join back never shuffles the
+    corpus-side rows.
     """
     keyed = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         text_sha256_col(F.col(text_col)).alias("text_sha256"),
     )
-    w = Window.partitionBy("text_sha256")
-    return (
-        keyed.select(
-            "doc_id",
-            F.min("doc_id").over(w).alias("cluster_id"),
-            F.count("*").over(w).alias("_n"),
-        )
+    stats = (
+        keyed.groupBy("text_sha256")
+        .agg(F.min("doc_id").alias("cluster_id"), F.count("*").alias("_n"))
         .where(F.col("_n") >= 2)
-        .select("doc_id", "cluster_id", F.lit("exact").alias("tier"))
+    )
+    return keyed.join(stats, "text_sha256").select(
+        "doc_id", "cluster_id", F.lit("exact").alias("tier")
     )
 
 

@@ -43,22 +43,33 @@ def explode_bands(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def lsh_candidate_pairs(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """signatures -> distinct candidate (id_a, id_b), id_a < id_b.
 
-    One window aggregate (single shuffle, no bands-vs-stats join) computes
-    bucket size + pivot; rows in multi-member buckets — a tiny fraction of
-    the corpus at webtext scale — are materialized eagerly so the
-    within-bucket self-join reads a cached table instead of recomputing the
-    band explode + window on both sides (measured 45s -> ~8s at 500k docs).
+    Bucket stats come from a partial-aggregating ``groupBy`` joined back to
+    the band rows — NOT a ``Window.partitionBy(band_id, band_hash)``: the
+    window routes every row of a hot bucket (a 50M-row boilerplate bucket at
+    webtext scale) through ONE task just to be counted, while the groupBy
+    counts map-side in parallel and the (small: multi-member buckets only)
+    stats table broadcasts back under AQE.
+
+    The joined band rows for multi-member buckets — a tiny fraction of the
+    corpus — are persisted eagerly so the within-bucket self-join reads a
+    cached table instead of recomputing the band explode + stats join on
+    both sides (measured 45s -> ~8s at 500k docs); the cache is dropped
+    before returning (the output itself is persisted instead, and callers
+    that checkpoint it may ``unpersist()`` afterwards).
     """
-    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     bands = explode_bands(sig, cfg)
-    w = Window.partitionBy("band_id", "band_hash")
-    multi = (
-        bands.withColumn("bucket_size", F.count("*").over(w))
+    stats = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(
+            F.count("*").alias("bucket_size"),
+            F.min("doc_id").alias("pivot_id"),
+        )
         .where(F.col("bucket_size") >= 2)
-        .withColumn("pivot_id", F.min("doc_id").over(w))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    multi = bands.join(stats, ["band_id", "band_hash"]).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     multi.count()  # eager: both self-join sides read the cache
 
@@ -75,8 +86,12 @@ def lsh_candidate_pairs(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .select(F.col("pivot_id").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
 
-    return (
+    out = (
         joined.select("id_a", "id_b")
         .union(pivoted)
         .dropDuplicates(["id_a", "id_b"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()
+    multi.unpersist()
+    return out

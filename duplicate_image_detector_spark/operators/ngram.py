@@ -1,0 +1,181 @@
+"""Exact n-gram Jaccard pairs via an inverted shingle index.
+
+The EXACT (not approximate) production path for "all pairs with Jaccard >=
+t": explode each document's distinct shingle-hash set into an inverted
+index, equi-self-join on the shingle hash, count shared shingles per pair,
+and derive Jaccard from the set-size identity |A∪B| = |A| + |B| - |A∩B|.
+No quadratic stage exists anywhere: a pair is enumerated only if it shares
+at least one shingle, and the per-shingle join output is bounded by the
+document frequency of that shingle.
+
+This replaces the brute-force ``crossJoin`` + ``array_intersect`` variant
+(round-1 gate; the reference's blocked all-pairs theta-join,
+/root/reference/duplicate-detector.py:1404-1421) — which remains valid only
+as a small-scale test oracle.
+
+Skew: a boilerplate shingle shared by B documents contributes B(B-1)/2 join
+rows.  Singleton shingles (df=1, the long tail of webtext) are pruned with
+the same partial-agg groupBy + join-back shape as the LSH bucket cap; for
+the heavy head, ``df_cap`` optionally DROPS shingles with document
+frequency > cap from the universe — per-doc set sizes are then recomputed
+post-filter so the output is the exact Jaccard over the capped universe
+(ultra-common shingles carry no dedup signal; this is the standard
+suffix-filtering trade, cf. PPJoin/Vernica et al. SIGMOD'10).  The default
+``df_cap=None`` keeps plain exact semantics (and oracle bit-parity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+from duplicate_image_detector_spark.functions.text import py_tokenize
+from duplicate_image_detector_spark.operators.signatures import _ShingleHasher
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+EXPLODED_SCHEMA = "doc_id bigint, h bigint, n_shingles int"
+
+
+def exploded_shingles(
+    docs: DataFrame,
+    cfg: PipelineConfig,
+    hash_kind: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs -> one row per (doc, distinct shingle hash), with the doc's
+    total distinct-shingle count carried on every row (so Jaccard needs no
+    separate sizes join).  Arrow-batched, flat-buffer output — the same
+    NumPy hashing kernel as the signature stage."""
+    import pyarrow as pa_mod
+
+    k = cfg.shingle_k
+    min_len = cfg.min_text_len
+    schema = pa_mod.schema(
+        [
+            pa_mod.field("doc_id", pa_mod.int64()),
+            pa_mod.field("h", pa_mod.int64()),
+            pa_mod.field("n_shingles", pa_mod.int32()),
+        ]
+    )
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        hasher = _ShingleHasher(hash_kind, k)
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("text").to_pylist()
+            id_chunks: list[np.ndarray] = []
+            h_chunks: list[np.ndarray] = []
+            n_chunks: list[np.ndarray] = []
+            for doc_id, text in zip(doc_ids, texts):
+                if text is None or len(text) < min_len:
+                    continue
+                hs = hasher.doc_hashes(py_tokenize(text))
+                if hs is None or len(hs) == 0:
+                    continue
+                m = len(hs)
+                id_chunks.append(np.full(m, int(doc_id), dtype=np.int64))
+                h_chunks.append(hs)
+                n_chunks.append(np.full(m, m, dtype=np.int32))
+            if id_chunks:
+                ids = np.concatenate(id_chunks)
+                hh = np.concatenate(h_chunks)
+                nn = np.concatenate(n_chunks)
+            else:
+                ids = np.empty(0, dtype=np.int64)
+                hh = np.empty(0, dtype=np.int64)
+                nn = np.empty(0, dtype=np.int32)
+            yield pa_mod.RecordBatch.from_arrays(
+                [pa_mod.array(ids), pa_mod.array(hh), pa_mod.array(nn)],
+                schema=schema,
+            )
+
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInArrow(gen, schema=EXPLODED_SCHEMA)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    cfg: PipelineConfig,
+    df_cap: int | None = None,
+    hash_kind: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs -> exact (id_a, id_b, jaccard) for all pairs with Jaccard >=
+    cfg.jaccard_threshold, id_a < id_b.
+
+    ``jaccard`` is integer-derived (ni / (na + nb - ni)) — bit-exact across
+    engines with no rounding.  See module docstring for the df_cap
+    semantics.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ex = exploded_shingles(docs, cfg, hash_kind, id_col, text_col)
+
+    # shingle document-frequency stats: partial-agg groupBy (skew-safe),
+    # then join back.  df=1 shingles never intersect -> pruned here.
+    hi = df_cap if df_cap is not None else (1 << 62)
+    df_stats = (
+        ex.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= hi))
+        .select("h")
+    )
+    multi = ex.join(df_stats, "h").persist(StorageLevel.MEMORY_AND_DISK)
+    multi.count()  # eager: both self-join sides read the cache
+
+    if df_cap is not None:
+        # capped universe: per-doc sizes recomputed over surviving shingles
+        # (df=1 shingles must still count -> recompute from ex, filtered by
+        # df <= cap only)
+        capped = ex.join(
+            ex.groupBy("h").agg(F.count("*").alias("_df")).where(F.col("_df") <= hi).select("h"),
+            "h",
+        )
+        sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+        left = multi.select("h", F.col("doc_id").alias("id_a"))
+        right = multi.select("h", F.col("doc_id").alias("id_b"))
+        inter = (
+            left.join(right, "h")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("ni"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+        scored = inter.join(sa, "id_a").join(sb, "id_b")
+    else:
+        left = multi.select(
+            "h", F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na")
+        )
+        right = multi.select(
+            "h", F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb")
+        )
+        scored = (
+            left.join(right, "h")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.count("*").alias("ni"))
+        )
+
+    jac = F.col("ni").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ni")
+    ).cast("double")
+    out = (
+        scored.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    multi.unpersist()
+    return out

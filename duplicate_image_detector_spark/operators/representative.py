@@ -3,6 +3,9 @@
 Analogs:
   * member score = mean of verified-pair scores touching the member
     (/root/reference/duplicate-detector.py:1989-1997, A4)
+  * best pair per member = the highest-scoring edge touching the member
+    and its partner (ref _get_member_details :1945-1964, A6) — the
+    reviewable "why is this doc in the cluster" evidence, via max_by.
   * representative = arg-max score per group, deterministic tie-break
     (ref :1999, 2012-2016, A5/W1) — a rank-1 window, not a collect.
   * tier per doc = highest-priority tier among its incident evidence
@@ -30,28 +33,45 @@ def assemble_clusters(
     components: DataFrame, evidence_pairs: DataFrame
 ) -> DataFrame:
     """(doc_id, cluster_id) + evidence (id_a, id_b, score, tier)
-    -> (doc_id, cluster_id, tier, score, is_representative).
+    -> (doc_id, cluster_id, tier, score, best_match_id, best_score,
+        is_representative).
 
     ``evidence_pairs`` carries one row per detection edge with a ``score``
     (jaccard for near/substring normalized, 1.0 for exact) and ``tier``.
+    ``best_match_id``/``best_score`` is the member's strongest incident
+    edge (A6, ref :1945-1964; ties broken toward the smaller partner id).
     """
     per_member = (
         evidence_pairs.select(
-            F.col("id_a").alias("doc_id"), "score", "tier"
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("_other"),
+            "score",
+            "tier",
         )
         .union(
             evidence_pairs.select(
-                F.col("id_b").alias("doc_id"), "score", "tier"
+                F.col("id_b").alias("doc_id"),
+                F.col("id_a").alias("_other"),
+                "score",
+                "tier",
             )
         )
         .groupBy("doc_id")
         .agg(
             F.avg("score").alias("score"),
             F.max(_tier_priority_col(F.col("tier"))).alias("_tp"),
+            # strongest incident edge; -other breaks score ties toward the
+            # smaller partner id (deterministic under any partitioning)
+            F.max_by(
+                "_other", F.struct(F.col("score"), (-F.col("_other")))
+            ).alias("best_match_id"),
+            F.max("score").alias("best_score"),
         )
         .select(
             "doc_id",
             "score",
+            "best_match_id",
+            "best_score",
             F.when(F.col("_tp") == 3, "exact")
             .when(F.col("_tp") == 2, "near")
             .otherwise("substring")
@@ -59,7 +79,7 @@ def assemble_clusters(
         )
     )
     joined = components.join(per_member, "doc_id", "left").fillna(
-        {"score": 0.0, "tier": "near"}
+        {"score": 0.0, "best_score": 0.0, "tier": "near"}
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -69,5 +89,7 @@ def assemble_clusters(
         "cluster_id",
         "tier",
         "score",
+        "best_match_id",
+        "best_score",
         (F.row_number().over(w) == 1).alias("is_representative"),
     )

@@ -299,7 +299,6 @@ def compute_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "pandas",
-    use_md5_hash: bool = True,
     keep_shingle_strings: bool = False,
     include_shingles: bool = True,
     hash_kind: str = "md5",
@@ -308,13 +307,16 @@ def compute_signatures(
 
     Rows with null/short text or fewer than one shingle are dropped (M2
     analog, ref :676-677 validity predicate) — never failed on (M6, ref
-    :948-949).  ``use_md5_hash`` exists for the 'sql' method only (False
-    selects xxhash64; the pandas method's hash is ``hash_kind``).
-    ``include_shingles=False`` omits the shingle-hash arrays (~8x smaller
-    rows); the verify stage then materializes sets for candidate docs only
-    via ``shingle_sets_for``.
+    :948-949).  ``hash_kind`` is the single base-hash knob:
+    ``method='pandas'`` supports 'md5' (oracle-portable) and 'poly'
+    (memoized-token polynomial, the at-scale fast path); ``method='sql'``
+    supports 'md5' and 'xxhash64'.  ``include_shingles=False`` omits the
+    shingle-hash arrays (~8x smaller rows); the verify stage then
+    materializes sets for candidate docs only via ``shingle_sets_for``.
     """
     if method == "pandas" and not keep_shingle_strings:
+        if hash_kind not in ("md5", "poly"):
+            raise ValueError(f"method='pandas' supports hash_kind md5|poly, got {hash_kind!r}")
         src = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).where(F.col("text").isNotNull())
@@ -325,6 +327,8 @@ def compute_signatures(
             _signatures_gen(cfg, include_shingles, hash_kind), schema=schema
         )
 
+    if hash_kind not in ("md5", "xxhash64"):
+        raise ValueError(f"method='sql' supports hash_kind md5|xxhash64, got {hash_kind!r}")
     from duplicate_image_detector_spark.functions.hashing import (
         shingle_xxhash64_col,
     )
@@ -339,7 +343,7 @@ def compute_signatures(
         w.alias("words"),
         shingles_col(w, cfg.shingle_k).alias("shingles"),
     )
-    hasher = shingle_md5_60bit_col if use_md5_hash else shingle_xxhash64_col
+    hasher = shingle_md5_60bit_col if hash_kind == "md5" else shingle_xxhash64_col
     hashed = base.where(F.size("shingles") > 0).select(
         "doc_id",
         "text_sha256",

@@ -1,0 +1,144 @@
+"""Exact SimHash Hamming-neighbor pairs via pigeonhole banding.
+
+The reference's pHash/dHash Hamming-threshold grouping idea
+(/root/reference/duplicate-detector.py:1346-1383 metadata-key grouping;
+TECHNICAL.md exact-vs-near two-tier) needs "all pairs with Hamming(a,b) <=
+d" over 64-bit fingerprints.  An all-pairs crossJoin is quadratic; the
+EXACT sub-quadratic plan is pigeonhole banding (Manku et al., WWW'07
+"Detecting Near-Duplicates for Web Crawling"):
+
+  split the B-bit fingerprint into d+1 disjoint chunks.  Any pair within
+  Hamming distance d differs in at most d bit positions, so at least one
+  chunk is bit-identical (pigeonhole) — an equi-self-join per chunk finds
+  every such pair, and a cheap ``bit_count(xor) <= d`` verify on the
+  candidates removes chunk-collision false positives.  No recall loss:
+  the output is exactly the crossJoin's output.
+
+Skew shape mirrors the LSH operator: chunk-value occupancy is counted with
+a partial-aggregating groupBy joined back (no hot-key single-task window),
+singleton chunk values are pruned before the self-join, and AQE's skew
+split bounds residual partition imbalance.  A hot chunk value (template
+pages sharing 15 identical fingerprint bits) produces O(|bucket|²) join
+rows — those rows are one ``xor`` each, and when they genuinely ARE within
+Hamming d the quadratic pair list is the requested output; ``max_bucket``
+(default None = exact) optionally routes oversized buckets to pivot
+pairing for pipeline use where CC transitivity recovers clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+
+
+def _chunks_col(simhash: Column, n_chunks: int, chunk_bits: int) -> Column:
+    mask = (1 << chunk_bits) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(simhash, c * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    cfg: PipelineConfig,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+    simhash_col: str = "simhash",
+) -> DataFrame:
+    """sig(doc_id, simhash) -> exact (id_a, id_b, hamming), id_a < id_b,
+    for every pair with Hamming distance <= cfg.simhash_hamming_max.
+
+    ``max_bucket=None`` (default) is exact — identical output to the
+    all-pairs crossJoin.  With a cap, members of an oversized chunk bucket
+    pair with the bucket's min doc_id only (pipeline mode; see module
+    docstring).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    d = cfg.simhash_hamming_max
+    n_chunks = d + 1
+    chunk_bits = -(-cfg.simhash_bits // n_chunks)
+
+    base = sig.select(
+        F.col(id_col).alias("doc_id"), F.col(simhash_col).alias("simhash")
+    )
+    ex = base.select(
+        "doc_id",
+        "simhash",
+        F.explode(_chunks_col(F.col("simhash"), n_chunks, chunk_bits)).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk_id"), F.col("ck.val"))
+
+    stats = (
+        ex.groupBy("chunk_id", "val")
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("pivot_id"))
+        .where(F.col("bucket_size") >= 2)
+    )
+    multi = ex.join(stats, ["chunk_id", "val"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    multi.count()  # eager: both self-join sides read the cache
+
+    hi = max_bucket if max_bucket is not None else (1 << 62)
+    normal = multi.where(F.col("bucket_size") <= hi)
+    left = normal.select(
+        "chunk_id",
+        "val",
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("_sa"),
+    )
+    right = normal.select(
+        "chunk_id",
+        "val",
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("_sb"),
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+    joined = (
+        left.join(right, ["chunk_id", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= d)  # verify BEFORE the pair dedup
+    )
+
+    if max_bucket is not None:
+        piv = (
+            multi.where(F.col("bucket_size") > hi)
+            .where(F.col("doc_id") != F.col("pivot_id"))
+            .select(
+                F.col("pivot_id").alias("id_a"),
+                F.col("doc_id").alias("id_b"),
+                F.col("simhash").alias("_sb"),
+            )
+            .join(
+                base.select(
+                    F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")
+                ),
+                "id_a",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .where(F.col("hamming") <= d)
+        )
+        joined = joined.union(piv)
+
+    out = joined.dropDuplicates(["id_a", "id_b"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out.count()
+    multi.unpersist()
+    return out

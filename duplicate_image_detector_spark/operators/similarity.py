@@ -46,6 +46,69 @@ def _norm(a: Column) -> Column:
     )
 
 
+_TOPK_SCHEMA = "vec_id bigint, neighbor_id bigint, cos double, rank int"
+
+
+def _collect_block(df: DataFrame, id_col: str, vec_col: str):
+    """Collect (ids, matrix, norms) for one corpus block, id-sorted."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    order = np.argsort(ids)
+    return ids[order], mat[order], norms[order]
+
+
+def _block_topk_gen(b_ids, b_mat, b_norms, id_col, vec_col, k, scale, ranked):
+    """mapInPandas generator: query batches x one broadcast corpus block ->
+    per-query top-k rows.  ``ranked=True`` emits final 1..k ranks (single-
+    block exact path); ``ranked=False`` emits rank=0 partials for a later
+    global window merge."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(all_ids) == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            qn = np.linalg.norm(q, axis=1)
+            cos = (q @ all_mat.T) / (qn[:, None] * all_norms[None, :])
+            # HALF_UP away from zero (sign-aware), matching Spark round()
+            # and the DuckDB oracle on negative half-tie cosines
+            cos = np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale
+            # exclude self
+            self_mask = q_ids[:, None] == all_ids[None, :]
+            cos[self_mask] = -np.inf
+            # top-k by (cos desc, neighbor_id asc): ids are ascending, and
+            # stable argsort on -cos preserves id order within ties
+            kk = min(k, cos.shape[1])
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            n = len(q_ids)
+            top_cos = np.take_along_axis(cos, idx, axis=1).ravel()
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(q_ids, kk),
+                    "neighbor_id": all_ids[idx].ravel(),
+                    "cos": top_cos,
+                    "rank": (
+                        np.tile(np.arange(1, kk + 1, dtype=np.int32), n)
+                        if ranked
+                        else np.zeros(n * kk, dtype=np.int32)
+                    ),
+                }
+            )
+            # -inf rows are self-matches that leaked in when the block has
+            # fewer than k vectors — never real neighbors
+            yield out[out["cos"] != -np.inf]
+
+    return gen
+
+
 def cosine_topk(
     emb: DataFrame,
     k: int = 5,
@@ -53,6 +116,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     method: str = "numpy",
+    block_rows: int = 262144,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector.
 
@@ -62,63 +126,64 @@ def cosine_topk(
     keeping ties deterministic).
 
     ``method='numpy'`` (default) is the reference's blocked matmul
-    (ref :1404-1415) verbatim in spirit: the full matrix is broadcast to
-    executors and each Arrow batch of query vectors does one BLAS matmul
-    against it — distributed over the query side, O(n·d) memory per
-    executor.  Fits while the corpus side fits an executor (the reference's
-    own operating regime); beyond that, ``ann_lsh_topk`` is the scale path.
+    (ref :1404-1415) made distributed-safe: the corpus side is processed in
+    ``block_rows``-sized blocks.  When the corpus fits one block, it is
+    broadcast whole and each Arrow batch of query vectors does one BLAS
+    matmul against it (single driver collect — the reference's own
+    operating regime).  Larger corpora never materialize on the driver at
+    once: each block is collected/broadcast in turn, per-block top-k
+    partials are computed distributed over the query side and materialized,
+    the block's executor copies are released, and a final window merge
+    takes the global top-k — exact, with driver/executor memory bounded by
+    one block (O(block_rows * d)) regardless of corpus size.
     ``method='sql'`` keeps the pure-column-expression variant.
     """
     if method == "sql":
         return _cosine_topk_sql(emb, k, id_col, vec_col, round_digits)
 
-    import pandas as pd  # noqa: F401
-
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1)
-    order = np.argsort(ids)
-    ids, mat, norms = ids[order], mat[order], norms[order]
-    sc = emb.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
-    b_norms = sc.broadcast(norms)
     scale = 10.0 ** round_digits
+    sc = emb.sparkSession.sparkContext
+    base = emb.select(id_col, vec_col)
+    n = base.count()
+    n_blocks = max(1, -(-n // block_rows))
 
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    if n_blocks == 1:
+        b_ids, b_mat, b_norms = (
+            sc.broadcast(x) for x in _collect_block(base, id_col, vec_col)
+        )
+        gen = _block_topk_gen(
+            b_ids, b_mat, b_norms, id_col, vec_col, k, scale, ranked=True
+        )
+        return base.mapInPandas(gen, schema=_TOPK_SCHEMA)
 
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            qn = np.linalg.norm(q, axis=1)
-            cos = (q @ all_mat.T) / (qn[:, None] * all_norms[None, :])
-            cos = np.floor(cos * scale + 0.5) / scale  # round half-up
-            # exclude self
-            self_mask = q_ids[:, None] == all_ids[None, :]
-            cos[self_mask] = -np.inf
-            # top-k by (cos desc, neighbor_id asc): ids are ascending, and
-            # stable argsort on -cos preserves id order within ties
-            idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-            n = len(q_ids)
-            out = pd.DataFrame(
-                {
-                    "vec_id": np.repeat(q_ids, k),
-                    "neighbor_id": all_ids[idx].ravel(),
-                    "cos": np.take_along_axis(cos, idx, axis=1).ravel(),
-                    "rank": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
-                }
-            )
-            yield out
+    from pyspark.storagelevel import StorageLevel
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        gen, schema="vec_id bigint, neighbor_id bigint, cos double, rank int"
+    block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    partials: list[DataFrame] = []
+    for blk in range(n_blocks):
+        ids, mat, norms = _collect_block(
+            base.where(block_of == blk), id_col, vec_col
+        )
+        b_ids, b_mat, b_norms = (sc.broadcast(x) for x in (ids, mat, norms))
+        gen = _block_topk_gen(
+            b_ids, b_mat, b_norms, id_col, vec_col, k, scale, ranked=False
+        )
+        part = base.mapInPandas(gen, schema=_TOPK_SCHEMA).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        part.count()  # materialize before releasing the block broadcast
+        for bc in (b_ids, b_mat, b_norms):
+            bc.unpersist()  # executor copies freed; re-broadcastable on loss
+        partials.append(part)
+
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.union(p)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos", "rank")
     )
 
 
@@ -210,13 +275,44 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Approximate top-k: candidates from any shared LSH bucket, exact
     cosine re-rank of candidates only.  Same output schema as
-    ``cosine_topk``; recall < 1 by design (measured in tests)."""
+    ``cosine_topk``; recall < 1 by design (measured in tests).
+
+    Hot-bucket cap (the text-LSH treatment): bucket sizes come from a
+    partial-aggregating groupBy joined back; a bucket larger than
+    ``max_bucket`` — correlated embeddings all hashing together — would
+    emit O(|bucket|²) candidate pairs, so its *neighbor-candidate side* is
+    down-sampled to ~``max_bucket`` members by a deterministic hash of the
+    id (content-independent, seed-stable; no window/sort over the hot key).
+    Every member still queries against the sampled pool, bounding the
+    join output at O(|bucket| * max_bucket); in a hot bucket the members
+    are near-interchangeable neighbors, so recall impact is minimal and is
+    covered by the recall test.  At 10^9+ vectors also raise ``n_bits``
+    (expected bucket size scales with n / 2^n_bits).
+    """
     buckets = lsh_buckets(emb, n_tables, n_bits, seed, id_col, vec_col)
-    left = buckets.select("table_id", "bucket", F.col("vec_id").alias("vec_id"))
-    right = buckets.select(
+    stats = (
+        buckets.groupBy("table_id", "bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") >= 2)
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    multi = buckets.join(stats, ["table_id", "bucket"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    multi.count()  # eager: both self-join sides read the cache (the
+    # Python projection pass runs once, not three times)
+    left = multi.select("table_id", "bucket", F.col("vec_id"))
+    # sample factor ceil(size/cap): keeps ~cap members on the pool side
+    keep = F.pmod(
+        F.xxhash64(F.col("vec_id"), F.lit(seed)),
+        F.ceil(F.col("bucket_size") / F.lit(max_bucket)).cast("long"),
+    ) == 0
+    right = multi.where(keep).select(
         "table_id", "bucket", F.col("vec_id").alias("neighbor_id")
     )
     cands = (
@@ -224,7 +320,10 @@ def ann_lsh_topk(
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
         .dropDuplicates(["vec_id", "neighbor_id"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cands.count()
+    multi.unpersist()
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

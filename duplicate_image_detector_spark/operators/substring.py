@@ -96,17 +96,24 @@ def fingerprint_docs(
 
 
 def fingerprint_candidate_pairs(fps: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """(doc_id, fp) -> candidate (id_a < id_b), bucket-capped like LSH."""
-    from pyspark.sql import Window
+    """(doc_id, fp) -> candidate (id_a < id_b), bucket-capped like LSH.
+
+    Same skew-safe shape as ``lsh_candidate_pairs``: partial-aggregating
+    ``groupBy`` bucket stats joined back (no hot-key single-task window),
+    eager cache of the multi-member rows for the two self-join sides,
+    cache dropped before returning (output persisted instead).
+    """
     from pyspark.storagelevel import StorageLevel
 
-    w = Window.partitionBy("fp")
-    multi = (
-        fps.withColumn("bucket_size", F.count("*").over(w))
+    stats = (
+        fps.groupBy("fp")
+        .agg(
+            F.count("*").alias("bucket_size"),
+            F.min("doc_id").alias("pivot_id"),
+        )
         .where(F.col("bucket_size") >= 2)  # singleton fps never join
-        .withColumn("pivot_id", F.min("doc_id").over(w))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    multi = fps.join(stats, "fp").persist(StorageLevel.MEMORY_AND_DISK)
     multi.count()  # eager: both self-join sides read the cache
     normal = multi.where(F.col("bucket_size") <= cfg.max_bucket)
     left = normal.select("fp", F.col("doc_id").alias("id_a"))
@@ -117,9 +124,15 @@ def fingerprint_candidate_pairs(fps: DataFrame, cfg: PipelineConfig) -> DataFram
         .where(F.col("doc_id") != F.col("pivot_id"))
         .select(F.col("pivot_id").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    return joined.select("id_a", "id_b").union(pivoted).dropDuplicates(
-        ["id_a", "id_b"]
+    out = (
+        joined.select("id_a", "id_b")
+        .union(pivoted)
+        .dropDuplicates(["id_a", "id_b"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()
+    multi.unpersist()
+    return out
 
 
 def py_longest_common_substring(a: str, b: str) -> int:

@@ -47,6 +47,27 @@ from duplicate_image_detector_spark.operators.verify import verify_pairs
 from duplicate_image_detector_spark.sources.checkpoints import CheckpointManager
 
 
+def pipeline_extra_key(
+    use_md5_hash: bool = False,
+    enable_substring: bool = True,
+    exclude_exact: bool = False,
+    mode: str = "plain",
+) -> str:
+    """Checkpoint-key material for the run-level flags (see run_pipeline):
+    flags alter stage outputs, so they join the config hash in the key."""
+    import json
+
+    return json.dumps(
+        {
+            "use_md5_hash": use_md5_hash,
+            "enable_substring": enable_substring,
+            "exclude_exact": exclude_exact,
+            "mode": mode,
+        },
+        sort_keys=True,
+    )
+
+
 @dataclass
 class PipelineResult:
     docs: DataFrame
@@ -64,6 +85,7 @@ def run_pipeline(
     use_md5_hash: bool = False,
     enable_substring: bool = True,
     exclude_exact: bool = False,
+    mode: str = "plain",
 ) -> PipelineResult:
     """pages(url, html|text, ...) -> PipelineResult.
 
@@ -78,25 +100,47 @@ def run_pipeline(
     identical (exact star edges reconnect them in CC — equivalence tested);
     the explicit per-pair evidence between co-exact members is not
     materialized, which is the point at scale.
+
+    ``use_md5_hash=True`` selects the oracle-portable md5-60bit base shingle
+    hash for the signature + verify stages (default: the faster memoized
+    poly hash; every downstream value is hash-choice-invariant).
+
+    All three run-level flags are folded into the checkpoint key alongside
+    the config hash, so rerunning on the same ``checkpoint_dir`` with a
+    flipped flag recomputes rather than resuming stale stages.
     """
-    ckpt = (
-        CheckpointManager(spark, checkpoint_dir, cfg)
-        if checkpoint_dir
-        else CheckpointManager(spark, "", cfg, enabled=False)
+    if mode not in ("plain", "integrated"):
+        raise ValueError(f"mode must be plain|integrated, got {mode!r}")
+    extra_key = pipeline_extra_key(
+        use_md5_hash, enable_substring, exclude_exact, mode
     )
+    ckpt = (
+        CheckpointManager(spark, checkpoint_dir, cfg, extra_key=extra_key)
+        if checkpoint_dir
+        else CheckpointManager(spark, "", cfg, enabled=False, extra_key=extra_key)
+    )
+    hash_kind = "md5" if use_md5_hash else "poly"
 
     def _docs() -> DataFrame:
         if "text" in pages.columns:
-            src = pages.select("url", "text")
+            src = pages.select("url", "text", *(
+                ["lang"] if "lang" in pages.columns else []
+            ))
         else:
             src = extract_text(pages)
         # project html away immediately; derive the compact join key.
         # min-length validity predicate applied once here (M2 analog,
         # ref :676-677) so every tier sees the same document universe.
+        # lang rides along (null when the source lacks it) — the
+        # integrated mode's metadata key needs it.
+        lang = F.col("lang") if "lang" in src.columns else F.lit(None).cast("string")
         return src.where(
             F.col("text").isNotNull()
             & (F.length("text") >= cfg.min_text_len)
-        ).select(F.xxhash64("url").alias("doc_id"), "url", "text")
+        ).select(
+            F.xxhash64("url").alias("doc_id"), "url", "text",
+            lang.alias("lang"),
+        )
 
     docs = ckpt.run("docs", _docs)
 
@@ -123,7 +167,7 @@ def run_pipeline(
     signatures = ckpt.run(
         "signatures",
         lambda: compute_signatures(
-            near_docs, cfg, include_shingles=False, hash_kind="poly"
+            near_docs, cfg, include_shingles=False, hash_kind=hash_kind
         ),
     )
 
@@ -141,7 +185,7 @@ def run_pipeline(
         cand_ids = candidates.select(F.col("id_a").alias("doc_id")).union(
             candidates.select(F.col("id_b").alias("doc_id"))
         )
-        return shingle_sets_for(near_docs, cand_ids, cfg, hash_kind="poly")
+        return shingle_sets_for(near_docs, cand_ids, cfg, hash_kind=hash_kind)
 
     # own checkpoint stage: verify joins it on BOTH pair sides, and without
     # materialization the candidate-docs Python pass would run twice
@@ -151,6 +195,32 @@ def run_pipeline(
         sig_for_verify = signatures.select("doc_id", "simhash").join(
             shingle_sets, "doc_id"
         )
+        if mode == "integrated":
+            # the reference's integrated mode (ref :1438-1530): exact
+            # Jaccard un-thresholded, metadata key = (lang, url host),
+            # triple predicate; edge score = integrated_score
+            from duplicate_image_detector_spark.operators.integrated import (
+                integrated_pairs,
+                metadata_key_col,
+            )
+            from duplicate_image_detector_spark.operators.verify import (
+                score_pairs,
+            )
+
+            scored = score_pairs(candidates, sig_for_verify, cfg)
+            host = F.regexp_extract(
+                F.col("url"), r"^(?:[a-z][a-z0-9+.-]*://)?([^/]+)", 1
+            )
+            meta = docs.select(
+                "doc_id", metadata_key_col(F.col("lang"), host).alias("meta_key")
+            )
+            return integrated_pairs(scored, meta).select(
+                "id_a",
+                "id_b",
+                "jaccard",
+                F.col("integrated_score").alias("score"),
+                F.lit("near").alias("tier"),
+            )
         return verify_pairs(candidates, sig_for_verify, cfg)
 
     verified = ckpt.run("verified", _verified)
@@ -164,9 +234,10 @@ def run_pipeline(
         e = exact_pair_edges(exact).select(
             "id_a", "id_b", F.lit(1.0).alias("score"), F.lit("exact").alias("tier")
         )
-        n = verified.select(
-            "id_a", "id_b", F.col("jaccard").alias("score"), "tier"
+        near_score = (
+            F.col("score") if "score" in verified.columns else F.col("jaccard")
         )
+        n = verified.select("id_a", "id_b", near_score.alias("score"), "tier")
         parts = [e, n]
         if substr is not None:
             # span_len normalized against the shorter doc is a score in (0,1]

@@ -42,13 +42,24 @@ class CheckpointManager:
     base_dir: str
     cfg: PipelineConfig
     enabled: bool = True
+    # run-level flags that alter stage outputs but live outside
+    # PipelineConfig (e.g. enable_substring) — folded into the checkpoint
+    # key so a rerun with a flipped flag can never resume stale stages
+    extra_key: str = ""
     computed_stages: list[str] = field(default_factory=list)
     resumed_stages: list[str] = field(default_factory=list)
     _metrics: list[dict] = field(default_factory=list)
 
     @property
     def root(self) -> str:
-        return os.path.join(self.base_dir, self.cfg.config_hash())
+        key = self.cfg.config_hash()
+        if self.extra_key:
+            import hashlib
+
+            key = hashlib.sha256(
+                (key + "|" + self.extra_key).encode()
+            ).hexdigest()[:16]
+        return os.path.join(self.base_dir, key)
 
     def stage_path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
@@ -65,11 +76,15 @@ class CheckpointManager:
             # Materialize EAGERLY: a lazy persist lets parallel join branches
             # of the first action race to compute the same stage 2-3x before
             # the cache fills (measured 120s vs 35s on the sf0.1 pipeline).
+            # Operators that return an already-persisted DataFrame (e.g. the
+            # candidate-pair generators) are not persisted a second time.
             from pyspark.storagelevel import StorageLevel
 
             self.computed_stages.append(stage)
-            df = fn().persist(StorageLevel.MEMORY_AND_DISK)
-            df.count()
+            df = fn()
+            if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                df.count()
             return df
         path = self.stage_path(stage)
         if self.is_complete(stage):
@@ -78,6 +93,9 @@ class CheckpointManager:
         t0 = time.time()
         df = fn()
         df.write.mode("overwrite").parquet(path)
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            # the durable parquet copy supersedes any operator-side cache
+            df.unpersist()
         out = self.spark.read.parquet(path)
         # per-partition (per-file) lineage counters — the distributed analog
         # of the reference's per-run counters (ref :2744-2770)

@@ -1,0 +1,155 @@
+"""Mutable clusters store: soft-delete + group-active recompute + audit log.
+
+Analog of the reference's review-UI mutation path
+(/root/reference/duplicate-detector.py:2477-2545):
+
+  * ``UPDATE images SET status='deleted' WHERE id IN (...)``  (ref :2505-2510)
+    -> ``soft_delete``: a row-level update expressed as a broadcast join +
+    conditional column, committed as a NEW immutable snapshot version
+    (in production this is an Iceberg ``MERGE INTO``/row-delete whose
+    snapshot commit provides the same atomicity; here a versioned parquet
+    directory with a ``_LATEST`` pointer file emulates it — readers of the
+    previous version are never disturbed).
+  * ``INSERT INTO deletion_log (image_path, group_id)``  (ref :2518-2524)
+    -> an append-only parquet audit table, one row per doc that actually
+    transitioned active -> deleted (idempotent re-deletes append nothing,
+    matching the reference's "successfully_deleted" filter).
+  * group-active recompute (ref :2526-2537): a group is *complete* (drops
+    out of serving) when its active member count falls below
+    MIN_GROUP_SIZE=2 (ref :99) — computed as a partial-agg groupBy, never
+    per-row Python.
+  * serving read (ref :2341-2372, :2491-2494): per-group page ordered by
+    ``is_representative DESC, doc_id`` with a LIMIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MIN_GROUP_SIZE = 2  # ref duplicate-detector.py:99
+
+_LATEST = "_LATEST"
+
+
+class ClusterStore:
+    """Versioned clusters table rooted at ``path``.
+
+    Layout: ``{path}/v{NNNN}/`` snapshot parquet dirs, ``{path}/_LATEST``
+    JSON pointer, ``{path}/_deletion_log/`` append-only audit parquet.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- snapshot bookkeeping ------------------------------------------------
+
+    def _latest_version(self) -> int:
+        p = os.path.join(self.path, _LATEST)
+        if not os.path.exists(p):
+            return -1
+        with open(p) as fh:
+            return int(json.load(fh)["version"])
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v:04d}")
+
+    def _commit(self, df: DataFrame) -> int:
+        v = self._latest_version() + 1
+        df.write.mode("overwrite").parquet(self._version_dir(v))
+        tmp = os.path.join(self.path, _LATEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "ts": time.time()}, fh)
+        os.replace(tmp, os.path.join(self.path, _LATEST))  # atomic pointer swap
+        return v
+
+    # -- API -----------------------------------------------------------------
+
+    def init(self, clusters: DataFrame) -> int:
+        """Seed the store from a pipeline ``clusters`` output; every row
+        starts ``status='active'``."""
+        os.makedirs(self.path, exist_ok=True)
+        return self._commit(clusters.withColumn("status", F.lit("active")))
+
+    def read(self, include_deleted: bool = False) -> DataFrame:
+        v = self._latest_version()
+        if v < 0:
+            raise FileNotFoundError(f"cluster store at {self.path} is empty")
+        df = self.spark.read.parquet(self._version_dir(v))
+        return df if include_deleted else df.where(F.col("status") == "active")
+
+    def soft_delete(self, doc_ids: list[int]) -> dict:
+        """Mark the given docs deleted; append audit rows for genuine
+        transitions; return {'deleted_count', 'complete_groups'}.
+
+        Idempotent: re-deleting already-deleted docs changes nothing and
+        logs nothing (ref's successfully_deleted filter, :2518-2524).
+        """
+        cur = self.read(include_deleted=True)
+        ids = self.spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id bigint"
+        ).withColumn("_del", F.lit(True))
+        joined = cur.join(F.broadcast(ids), "doc_id", "left")
+
+        transitioned = joined.where(
+            (F.col("status") == "active") & F.col("_del").isNotNull()
+        )
+        audit_cols = [
+            c for c in ("url", "doc_id", "cluster_id") if c in cur.columns
+        ]
+        audit = transitioned.select(*audit_cols).withColumn(
+            "ts", F.lit(time.time())
+        )
+        audit.write.mode("append").parquet(
+            os.path.join(self.path, "_deletion_log")
+        )
+        deleted_count = audit.count()
+
+        new = joined.withColumn(
+            "status",
+            F.when(F.col("_del").isNotNull(), F.lit("deleted")).otherwise(
+                F.col("status")
+            ),
+        ).drop("_del")
+        self._commit(new)
+
+        # group-active recompute (ref :2526-2537): complete groups are those
+        # that previously served and now have < MIN_GROUP_SIZE active members
+        after = self.read()
+        active_counts = after.groupBy("cluster_id").agg(
+            F.count("*").alias("n_active")
+        )
+        complete = [
+            int(r["cluster_id"])
+            for r in active_counts.where(
+                F.col("n_active") < MIN_GROUP_SIZE
+            ).collect()
+        ]
+        return {"deleted_count": deleted_count, "complete_groups": sorted(complete)}
+
+    def deletion_log(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "_deletion_log"))
+
+    def active_groups(self) -> DataFrame:
+        """(cluster_id, n_active) for servable groups (>= MIN_GROUP_SIZE)."""
+        return (
+            self.read()
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_active"))
+            .where(F.col("n_active") >= MIN_GROUP_SIZE)
+        )
+
+    def serve_group(self, cluster_id: int, limit: int = 100) -> DataFrame:
+        """The reference's group page (ref :2491-2494): active members of
+        one group, representative first, stable order, LIMIT."""
+        return (
+            self.read()
+            .where(F.col("cluster_id") == cluster_id)
+            .orderBy(F.desc("is_representative"), F.asc("doc_id"))
+            .limit(limit)
+        )

@@ -31,6 +31,8 @@ def incremental_signatures(
     checkpoint_dir: str,
     cfg: PipelineConfig,
     schema: StructType | str = PAGES_SCHEMA,
+    include_shingles: bool = False,
+    hash_kind: str = "poly",
 ):
     """Start an availableNow stream: pages parquet -> signatures parquet.
 
@@ -38,13 +40,20 @@ def incremental_signatures(
     is the *batch* signature stage applied to the streaming DataFrame —
     stateless per-row column expressions, so it is trivially
     streaming-compatible (no watermark needed).
+
+    ``include_shingles``/``hash_kind`` DEFAULT TO THE BATCH PIPELINE'S
+    signature options (slim rows, poly hash — plans/pipeline.py:123-128) so
+    an incrementally-built store is schema- and value-compatible with batch
+    LSH state; override both in lockstep with any custom run_pipeline call.
     """
     stream = (
         spark.readStream.schema(schema).parquet(input_dir)
         .where(F.col("text").isNotNull())
         .select(F.xxhash64("url").alias("doc_id"), "url", "text")
     )
-    sigs: DataFrame = compute_signatures(stream, cfg)
+    sigs: DataFrame = compute_signatures(
+        stream, cfg, include_shingles=include_shingles, hash_kind=hash_kind
+    )
     return (
         sigs.writeStream.format("parquet")
         .option("path", output_dir)

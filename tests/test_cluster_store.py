@@ -1,0 +1,83 @@
+"""Soft-delete mutation path: status update, audit append, group-active
+recompute, snapshot isolation, idempotence (ref :2477-2545 analog)."""
+
+from __future__ import annotations
+
+from duplicate_image_detector_spark.sources.cluster_store import (
+    MIN_GROUP_SIZE,
+    ClusterStore,
+)
+
+
+def _seed(spark, tmp_path):
+    rows = [
+        # cluster 10: three members, rep=10
+        (10, 10, "near", 0.9, True, "u10"),
+        (11, 10, "near", 0.9, False, "u11"),
+        (12, 10, "near", 0.9, False, "u12"),
+        # cluster 20: two members, rep=20
+        (20, 20, "exact", 1.0, True, "u20"),
+        (21, 20, "exact", 1.0, False, "u21"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, cluster_id long, tier string, score double, "
+        "is_representative boolean, url string",
+    )
+    store = ClusterStore(spark, str(tmp_path / "clusters"))
+    store.init(df)
+    return store
+
+
+def test_soft_delete_roundtrip(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    assert store.read().count() == 5
+    assert store.active_groups().count() == 2
+
+    # delete one member of cluster 10: group still active (2 left)
+    res = store.soft_delete([11])
+    assert res["deleted_count"] == 1
+    assert res["complete_groups"] == []
+    assert store.read().count() == 4
+    assert store.read(include_deleted=True).count() == 5
+
+    # delete another: cluster 10 drops below MIN_GROUP_SIZE -> complete
+    res = store.soft_delete([12])
+    assert res["complete_groups"] == [10]
+    assert store.active_groups().count() == 1
+    assert {r["cluster_id"] for r in store.active_groups().collect()} == {20}
+
+    # audit log: one row per genuine transition, append-only
+    log = store.deletion_log()
+    assert log.count() == 2
+    assert {r["doc_id"] for r in log.collect()} == {11, 12}
+
+
+def test_soft_delete_idempotent(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    store.soft_delete([11])
+    res = store.soft_delete([11])  # re-delete: no transition, no audit row
+    assert res["deleted_count"] == 0
+    assert store.deletion_log().count() == 1
+    assert store.read(include_deleted=True).where("status = 'deleted'").count() == 1
+
+
+def test_serve_group_order_and_limit(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    page = store.serve_group(10, limit=2).collect()
+    assert [r["doc_id"] for r in page] == [10, 11]  # rep first, then id asc
+    assert page[0]["is_representative"]
+
+    # deleted members disappear from the page
+    store.soft_delete([10])
+    page = store.serve_group(10, limit=10).collect()
+    assert [r["doc_id"] for r in page] == [11, 12]
+
+
+def test_snapshot_isolation(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    before = store.read()  # bound to v0000
+    store.soft_delete([11])
+    assert before.count() == 5  # old snapshot untouched
+    assert store.read().count() == 4
+    assert MIN_GROUP_SIZE == 2

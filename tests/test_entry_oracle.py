@@ -52,6 +52,12 @@ def test_query_matches_oracle(spark, name):
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     for col in got.columns:
         g, w = got[col], want[col]
+        # dtype class must agree: the driver's value-hash stringifies, so an
+        # int column vs a float column ("99111" vs "99111.0") hash-mismatches
+        # even when values are numerically equal (round-1 lesson)
+        assert (g.dtype.kind in "iu") == (w.dtype.kind in "iu"), (
+            f"{name}.{col}: dtype class {g.dtype} vs {w.dtype}"
+        )
         if g.dtype.kind == "f" or w.dtype.kind == "f":
             assert (g.isna() == w.isna()).all(), f"{name}.{col}: NaN mismatch"
             diffs = (g.astype(float).fillna(0.0) - w.astype(float).fillna(0.0)).abs()

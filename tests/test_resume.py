@@ -10,7 +10,10 @@ from __future__ import annotations
 
 from dataclasses import replace
 
-from duplicate_image_detector_spark.plans.pipeline import run_pipeline
+from duplicate_image_detector_spark.plans.pipeline import (
+    pipeline_extra_key,
+    run_pipeline,
+)
 from duplicate_image_detector_spark.sources.checkpoints import CheckpointManager
 
 
@@ -30,7 +33,10 @@ def test_resume_skips_completed_stages(spark, tiny_pages_df, cfg, tmp_path):
     assert r1.ckpt.computed_stages and not r1.ckpt.resumed_stages
 
     # simulate a crash after "candidates": drop later stage markers
-    mgr = CheckpointManager(spark, base, c)
+    # (manager keyed exactly like the run: config hash + run-level flags)
+    mgr = CheckpointManager(
+        spark, base, c, extra_key=pipeline_extra_key(enable_substring=False)
+    )
     for stage in ("shingle_sets", "verified", "edges", "components", "clusters"):
         mgr.invalidate(stage)
 
@@ -73,3 +79,18 @@ def test_stage_metrics_lineage(spark, tiny_pages_df, cfg, tmp_path):
     for _, row in metrics.iterrows():
         parts = json.loads(row["partition_rows"])
         assert sum(parts.values()) == row["rows_out"]
+
+
+def test_flag_change_invalidates_cache(spark, tiny_pages_df, cfg, tmp_path):
+    """Run-level flags are part of the checkpoint key: flipping
+    enable_substring on the same checkpoint_dir must recompute, not resume
+    stale 'edges' (the resume-contract violation flagged in review)."""
+    base = str(tmp_path / "ckpt4")
+    c = cfg.with_recall_banding()
+    r1 = run_pipeline(spark, tiny_pages_df, c, checkpoint_dir=base,
+                      enable_substring=False)
+    assert r1.ckpt.computed_stages
+    r2 = run_pipeline(spark, tiny_pages_df, c, checkpoint_dir=base,
+                      enable_substring=True)
+    assert not r2.ckpt.resumed_stages
+    assert set(r2.ckpt.computed_stages) >= {"docs", "edges", "clusters"}

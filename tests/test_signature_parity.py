@@ -29,6 +29,6 @@ def test_pandas_matches_sql_signatures(spark, tiny_pages_df, cfg):
         F.xxhash64("url").alias("doc_id"), "text"
     ).limit(60)
     got = _rows(compute_signatures(docs, cfg, method="pandas"))
-    want = _rows(compute_signatures(docs, cfg, method="sql", use_md5_hash=True))
+    want = _rows(compute_signatures(docs, cfg, method="sql", hash_kind="md5"))
     assert got == want
     assert len(got) > 0

@@ -70,3 +70,48 @@ def test_ann_deterministic(emb_df):
         ["vec_id", "rank"], ignore_index=True
     )
     assert a.equals(b)
+
+
+def test_cosine_topk_blocked_matches_single_block(emb_df):
+    """block_rows smaller than the corpus -> multi-block distributed path;
+    output must be identical to the single-broadcast exact path."""
+    single = cosine_topk(emb_df, k=4).toPandas().sort_values(
+        ["vec_id", "rank"], ignore_index=True
+    )
+    blocked = cosine_topk(emb_df, k=4, block_rows=37).toPandas().sort_values(
+        ["vec_id", "rank"], ignore_index=True
+    )
+    assert single.equals(blocked)
+
+
+def test_cosine_topk_small_corpus_fewer_than_k(spark):
+    """corpus smaller than k+1: every vector gets n-1 neighbors, no
+    self-matches, no crash (the -inf guard)."""
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = cosine_topk(df, k=5).toPandas()
+    assert len(res) == 3 * 2
+    assert (res["vec_id"] != res["neighbor_id"]).all()
+
+
+def test_ann_hot_bucket_capped(spark):
+    """1000 near-identical vectors all but guarantee one hot LSH bucket:
+    with max_bucket=50 the candidate join output stays ~linear (bounded by
+    n * cap * tables, far below the quadratic ~8M pairs) and neighbors are
+    still found."""
+    rng = np.random.default_rng(11)
+    center = rng.standard_normal(16)
+    rows = [
+        (i, [float(x) for x in center + 1e-4 * rng.standard_normal(16)])
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.persist()
+    df.count()
+    res = ann_lsh_topk(df, k=3, n_tables=2, n_bits=4, max_bucket=50)
+    pdf = res.toPandas()
+    df.unpersist()
+    # every vector still gets k neighbors from the sampled pool
+    assert pdf.groupby("vec_id").size().min() == 3
+    assert (pdf["cos"] > 0.99).all()

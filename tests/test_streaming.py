@@ -21,8 +21,13 @@ def test_incremental_signatures_matches_batch(spark, tiny_pages_df, cfg, tmp_pat
     from duplicate_image_detector_spark.operators.signatures import compute_signatures
     from pyspark.sql import functions as F
 
+    # must match incremental_signatures' defaults (pipeline sig options:
+    # slim rows, poly hash) — the no-drift contract under test
     batch = compute_signatures(
-        tiny_pages_df.select(F.xxhash64("url").alias("doc_id"), "text"), cfg
+        tiny_pages_df.select(F.xxhash64("url").alias("doc_id"), "text"),
+        cfg,
+        include_shingles=False,
+        hash_kind="poly",
     )
     g = {r["doc_id"]: (r["simhash"], tuple(r["minhash"])) for r in got.collect()}
     w = {r["doc_id"]: (r["simhash"], tuple(r["minhash"])) for r in batch.collect()}
