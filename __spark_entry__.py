@@ -237,6 +237,21 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_validity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — explicit valid-row tally: one conditional-sum aggregate over
+    the raw table (the reference's processed/corrupt counters,
+    ref :2744-2770), not a lineage byproduct."""
+    d = _t(spark, sf_dir, "documents")
+    valid = (
+        F.col("text").isNotNull() & (F.length("text") >= CFG.min_text_len)
+    ).cast("bigint")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(valid).alias("n_valid"),
+        (F.count("*") - F.sum(valid)).alias("n_invalid"),
+    )
+
+
 def q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 + §2.8 encoding scalars: format_string label (the reference's
     format_path_display, ref :1928), base64 thumbnail-payload analog
@@ -442,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "binary_meta": q_binary_meta,
+        "doc_validity_stats": q_doc_validity_stats,
         "doc_preview": q_doc_preview,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -725,6 +741,12 @@ SELECT cluster_id, doc_id, is_rep, rank FROM (
         "binary_meta": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
             "sha256(text) AS sha FROM documents WHERE text IS NOT NULL"
+        ),
+        "doc_validity_stats": (
+            "SELECT count(*)::BIGINT AS n_rows,"
+            " sum((text IS NOT NULL AND length(text) >= 50)::BIGINT)::BIGINT AS n_valid,"
+            " (count(*) - sum((text IS NOT NULL AND length(text) >= 50)::BIGINT))::BIGINT AS n_invalid "
+            "FROM documents"
         ),
         "doc_preview": (
             "SELECT doc_id,"
