@@ -273,6 +273,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, corpus-blocked matmul —
+    the dedup-decision variant of the reference's thresholded similarity,
+    ref :1506-1511).  Threshold 0.35 sized to the synthetic embeddings'
+    similarity range (max pairwise cos ~0.51)."""
+    from duplicate_image_detector_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate by construction -> no SQL oracle (driver rows-only check);
     # recall vs brute force is asserted in tests/test_similarity.py
@@ -460,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_validity_stats": q_doc_validity_stats,
         "doc_preview": q_doc_preview,
         "cosine_topk": q_cosine_topk,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "tpch_q1": q_tpch_q1,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -757,6 +770,14 @@ SELECT cluster_id, doc_id, is_rep, rank FROM (
             "FROM documents WHERE text IS NOT NULL"
         ),
         "cosine_topk": _COSINE_SQL,
+        "cosine_dup_pairs": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nm FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) >= 0.35
+""",
         # ann_lsh_topk: approximate -> rows-only check, no oracle
         "tpch_q1": _Q1_SQL,
         "top_orders_per_cust": (

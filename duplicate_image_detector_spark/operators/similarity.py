@@ -215,6 +215,81 @@ def _cosine_topk_sql(
     )
 
 
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    block_rows: int = 262144,
+) -> DataFrame:
+    """EXACT embedding near-dup pairs: (id_a < id_b, cos) for every pair
+    with cosine >= threshold — the dedup-decision variant of the
+    reference's thresholded all-pairs similarity (ref :1404-1421, the
+    ``sscd_sim >= threshold`` test at :1506-1511), distributed the same way
+    as ``cosine_topk``: corpus side in broadcast blocks, query side
+    streamed through a NumPy matmul, so no driver materialization of the
+    full matrix and no quadratic Spark join.  Output is one row per
+    unordered pair (emitted only from the query row with the smaller id).
+    """
+    scale = 10.0 ** round_digits
+    sc = emb.sparkSession.sparkContext
+    base = emb.select(id_col, vec_col)
+    n = base.count()
+    n_blocks = max(1, -(-n // block_rows))
+    block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+
+    from pyspark.storagelevel import StorageLevel
+
+    def pair_gen(b_ids, b_mat, b_norms):
+        def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+            for pdf in batches:
+                if len(pdf) == 0 or len(all_ids) == 0:
+                    continue
+                q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                q = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                qn = np.linalg.norm(q, axis=1)
+                cos = (q @ all_mat.T) / (qn[:, None] * all_norms[None, :])
+                cos = np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale
+                hit = (cos >= threshold) & (q_ids[:, None] < all_ids[None, :])
+                qi, ci = np.nonzero(hit)
+                yield pd.DataFrame(
+                    {
+                        "id_a": q_ids[qi],
+                        "id_b": all_ids[ci],
+                        "cos": cos[qi, ci],
+                    }
+                )
+
+        return gen
+
+    parts: list[DataFrame] = []
+    for blk in range(n_blocks):
+        src = base if n_blocks == 1 else base.where(block_of == blk)
+        ids, mat, norms = _collect_block(src, id_col, vec_col)
+        b_ids, b_mat, b_norms = (sc.broadcast(x) for x in (ids, mat, norms))
+        part = base.mapInPandas(
+            pair_gen(b_ids, b_mat, b_norms),
+            schema="id_a bigint, id_b bigint, cos double",
+        )
+        if n_blocks > 1:
+            part = part.persist(StorageLevel.MEMORY_AND_DISK)
+            part.count()  # materialize before releasing the block broadcast
+            for bc in (b_ids, b_mat, b_norms):
+                bc.unpersist()
+        parts.append(part)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def lsh_buckets(
     emb: DataFrame,
     n_tables: int = 8,

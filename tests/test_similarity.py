@@ -115,3 +115,22 @@ def test_ann_hot_bucket_capped(spark):
     # every vector still gets k neighbors from the sampled pool
     assert pdf.groupby("vec_id").size().min() == 3
     assert (pdf["cos"] > 0.99).all()
+
+
+def test_cosine_dup_pairs_exact_and_blocked(emb_df, spark):
+    from duplicate_image_detector_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    single = cosine_dup_pairs(emb_df, threshold=0.9).toPandas().sort_values(
+        ["id_a", "id_b"], ignore_index=True
+    )
+    blocked = cosine_dup_pairs(
+        emb_df, threshold=0.9, block_rows=37
+    ).toPandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    assert single.equals(blocked)
+    # cluster-mates (0.05 noise around a shared center) are near-dups:
+    # every pair is canonical and above threshold
+    assert len(single) > 0
+    assert (single["id_a"] < single["id_b"]).all()
+    assert (single["cos"] >= 0.9).all()
