@@ -115,6 +115,83 @@ def run_default() -> None:
 
 
 # ---------------------------------------------------------------------------
+# skew mode: one mega bucket / mega exact group must not serialize
+# ---------------------------------------------------------------------------
+
+def run_skew(n_hot: int = 100000, n_tail: int = 20000) -> None:
+    """Adversarial-skew evidence: a corpus where ``n_hot`` docs are
+    byte-identical (one mega exact group AND one mega LSH bucket per band)
+    plus ``n_tail`` distinct docs.  With hot-key windows this serializes
+    the mega group onto one task; with the groupBy-stats + pivot-cap plans
+    it stays parallel and O(n).  Prints one JSON line with stage walls."""
+    spark = _spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from duplicate_image_detector_spark.config import PipelineConfig
+    from duplicate_image_detector_spark.operators.exact import exact_clusters
+    from duplicate_image_detector_spark.operators.lsh import lsh_candidate_pairs
+    from duplicate_image_detector_spark.operators.signatures import (
+        compute_signatures,
+    )
+
+    cfg = PipelineConfig()
+    hot_text = " ".join(f"boiler{i}" for i in range(120))
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"), F.lit(hot_text).alias("text")
+    )
+    tail = spark.range(n_hot, n_hot + n_tail).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), (F.col("id") * (j + 7)).cast("string"))
+                for j in range(60)
+            ],
+        ).alias("text"),
+    )
+    docs = hot.union(tail).repartition(128).persist(StorageLevel.MEMORY_AND_DISK)
+    n = docs.count()
+
+    t0 = time.time()
+    n_exact = exact_clusters(docs, cfg).count()
+    t_exact = time.time() - t0
+
+    t1 = time.time()
+    sig = compute_signatures(
+        docs, cfg, include_shingles=False, hash_kind="poly"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    t_sig = time.time() - t1
+
+    t2 = time.time()
+    cands = lsh_candidate_pairs(sig, cfg)
+    n_cands = cands.count()
+    t_lsh = time.time() - t2
+    # pivot cap holds: the mega bucket contributes O(n_hot) pivot pairs,
+    # not O(n_hot^2)
+    bound = (n_hot - 1) + cfg.max_bucket ** 2
+    print(
+        json.dumps(
+            {
+                "metric": "skew_mega_bucket",
+                "n_docs": n,
+                "n_hot": n_hot,
+                "n_exact_rows": n_exact,
+                "n_candidates": n_cands,
+                "candidate_bound_ok": n_cands <= bound,
+                "t_exact_sec": round(t_exact, 2),
+                "t_signatures_sec": round(t_sig, 2),
+                "t_lsh_sec": round(t_lsh, 2),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
 # scaling mode
 # ---------------------------------------------------------------------------
 
@@ -392,5 +469,7 @@ if __name__ == "__main__":
         run_scaling_worker(cpus, inp)
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--skew" in sys.argv:
+        run_skew()
     else:
         run_default()
