@@ -71,15 +71,48 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# session-scoped memo tables (S8 cache analog): several gates share the
+# same signatures / exact-Jaccard pair set — compute and persist each ONCE
+# per (sf_dir, params) instead of once per gate, and never pile up stale
+# caches across gates (the driver runs all ~30 queries in one session)
+_SIG_CACHE: dict[str, DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, float], DataFrame] = {}
+
+
+def _fresh(df: DataFrame | None, spark: SparkSession) -> bool:
+    return df is not None and df.sparkSession is spark
+
+
 def _sig_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    # signatures feed both the LSH join and the verify joins — persist so
-    # the 128-permutation computation runs once (S8 cache analog).
-    # hash_kind='md5' (default): the oracle-portable md5-60bit base hash.
-    return compute_signatures(_docs(spark, sf_dir), CFG_GATE).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    df = _SIG_CACHE.get(sf_dir)
+    if not _fresh(df, spark):
+        # signatures feed the LSH join, the verify joins, and 4 gates —
+        # persist so the 128-permutation computation runs once.
+        # hash_kind='md5' (default): the oracle-portable md5-60bit hash.
+        df = compute_signatures(_docs(spark, sf_dir), CFG_GATE).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _SIG_CACHE[sf_dir] = df
+    return df
+
+
+def _ngram_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float | None = None
+) -> DataFrame:
+    from dataclasses import replace
+
+    thr = CFG.jaccard_threshold if threshold is None else threshold
+    key = (sf_dir, thr)
+    df = _PAIRS_CACHE.get(key)
+    if not _fresh(df, spark):
+        cfg = CFG if thr == CFG.jaccard_threshold else replace(
+            CFG, jaccard_threshold=thr
+        )
+        df = ngram_jaccard_pairs(_docs(spark, sf_dir), cfg)
+        _PAIRS_CACHE[key] = df
+    return df
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +121,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard from set sizes).  Sub-quadratic production path — no
     CartesianProduct node anywhere in the plan; Jaccard is integer-derived,
     so it is bit-exact vs the DuckDB string-join oracle."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), CFG)
+    return _ngram_pairs(spark, sf_dir)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,15 +152,13 @@ def q_integrated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple predicate, ref duplicate-detector.py:1438-1530) over exact
     Jaccard pairs pre-thresholded at 0.80 (below the integrated floor
     0.8588) with (lang, source) as the metadata key."""
-    from dataclasses import replace
-
     from duplicate_image_detector_spark.operators.integrated import (
         integrated_pairs,
         metadata_key_col,
     )
 
     docs = _docs(spark, sf_dir)
-    pre = ngram_jaccard_pairs(docs, replace(CFG, jaccard_threshold=0.80))
+    pre = _ngram_pairs(spark, sf_dir, threshold=0.80)
     meta = docs.select(
         "doc_id",
         metadata_key_col(F.col("lang"), F.col("source")).alias("meta_key"),

@@ -82,9 +82,12 @@ def integrated_pairs(
         & (F.col("_ka") == F.col("_kb")),
         F.lit(1.0),
     ).otherwise(F.lit(0.0))
+    # LEFT joins: a pair whose endpoint has no meta row is metadata_match=0
+    # (the reference's "missing metadata = no key", ref :1494-1496), never
+    # silently dropped — callers may pass partial meta tables
     scored = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        pairs.join(a, "id_a", "left")
+        .join(b, "id_b", "left")
         .withColumn("metadata_match", match)
         .withColumn(
             "integrated_score",

@@ -120,7 +120,14 @@ def ngram_jaccard_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    ex = exploded_shingles(docs, cfg, hash_kind, id_col, text_col)
+    # the exploded index is the product of the Python tokenize+hash pass —
+    # persist it eagerly, since it feeds the df stats, BOTH self-join
+    # sides, and (with df_cap) the size recompute: up to 4 evaluations
+    # otherwise
+    ex = exploded_shingles(docs, cfg, hash_kind, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex.count()
 
     # shingle document-frequency stats: partial-agg groupBy (skew-safe),
     # then join back.  df=1 shingles never intersect -> pruned here.
@@ -178,4 +185,5 @@ def ngram_jaccard_pairs(
     )
     out.count()
     multi.unpersist()
+    ex.unpersist()
     return out

@@ -50,8 +50,17 @@ _TOPK_SCHEMA = "vec_id bigint, neighbor_id bigint, cos double, rank int"
 
 
 def _collect_block(df: DataFrame, id_col: str, vec_col: str):
-    """Collect (ids, matrix, norms) for one corpus block, id-sorted."""
+    """Collect (ids, matrix, norms) for one corpus block, id-sorted.
+    An empty block (empty input table, or a hash block that received no
+    ids) yields empty 2-D shapes — np.linalg.norm(axis=1) would raise on
+    the 1-D array np.asarray([]) otherwise."""
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty((0, 0), dtype=np.float64),
+            np.empty(0, dtype=np.float64),
+        )
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(mat, axis=1)

@@ -91,10 +91,23 @@ class ClusterStore:
         logs nothing (ref's successfully_deleted filter, :2518-2524).
         """
         cur = self.read(include_deleted=True)
-        ids = self.spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id bigint"
-        ).withColumn("_del", F.lit(True))
+        # set semantics: duplicate ids in the request must not multiply
+        # rows through the join (a double-submit would otherwise corrupt
+        # every later snapshot)
+        ids = (
+            self.spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id bigint"
+            )
+            .distinct()
+            .withColumn("_del", F.lit(True))
+        )
         joined = cur.join(F.broadcast(ids), "doc_id", "left")
+        # pre-delete active counts: complete_groups is a BEFORE/AFTER diff
+        before_counts = (
+            cur.where(F.col("status") == "active")
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("_n_before"))
+        )
 
         transitioned = joined.where(
             (F.col("status") == "active") & F.col("_del").isNotNull()
@@ -118,18 +131,23 @@ class ClusterStore:
         ).drop("_del")
         self._commit(new)
 
-        # group-active recompute (ref :2526-2537): complete groups are those
-        # that previously served and now have < MIN_GROUP_SIZE active members
-        after = self.read()
-        active_counts = after.groupBy("cluster_id").agg(
-            F.count("*").alias("n_active")
+        # group-active recompute (ref :2526-2537): a group is newly
+        # complete iff it served BEFORE this call (>= MIN active) and now
+        # has < MIN active members — including the drop-to-zero case,
+        # where the post-delete groupBy yields no row at all
+        after_counts = (
+            self.read()
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("_n_after"))
         )
-        complete = [
-            int(r["cluster_id"])
-            for r in active_counts.where(
-                F.col("n_active") < MIN_GROUP_SIZE
-            ).collect()
-        ]
+        newly_complete = (
+            before_counts.where(F.col("_n_before") >= MIN_GROUP_SIZE)
+            .join(after_counts, "cluster_id", "left")
+            .where(
+                F.coalesce(F.col("_n_after"), F.lit(0)) < MIN_GROUP_SIZE
+            )
+        )
+        complete = [int(r["cluster_id"]) for r in newly_complete.collect()]
         return {"deleted_count": deleted_count, "complete_groups": sorted(complete)}
 
     def deletion_log(self) -> DataFrame:

@@ -58,28 +58,36 @@ def _sessionize(gap_sec: int):
             last_ts = pd.Timestamp(last_ts) if last_ts is not None else None
         else:
             next_session, last_ts = 0, None
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            sids = []
-            for ts in pdf["ts"]:
-                if last_ts is None or (ts - last_ts).total_seconds() > gap_sec:
-                    next_session += 1
-                if last_ts is None or ts > last_ts:
-                    last_ts = ts
-                sids.append(next_session)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "user_id": pdf["user_id"].astype("int64"),
-                        "event_id": pdf["event_id"].astype("int64"),
-                        "ts": pdf["ts"],
-                        "session_id": pd.Series(sids, dtype="int64").values,
-                    }
+        # a group larger than the Arrow batch size arrives as SEVERAL
+        # chunks in shuffle order — concat and sort ONCE, or later chunks
+        # with earlier timestamps would be mis-sessionized (memory bound:
+        # one user's events per micro-batch)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            state.update(
+                (
+                    int(next_session),
+                    last_ts.to_pydatetime() if last_ts is not None else None,
                 )
             )
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        sids = []
+        for ts in pdf["ts"]:
+            if last_ts is None or (ts - last_ts).total_seconds() > gap_sec:
+                next_session += 1
+            if last_ts is None or ts > last_ts:
+                last_ts = ts
+            sids.append(next_session)
         state.update((int(next_session), last_ts.to_pydatetime()))
-        yield from out
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].astype("int64"),
+                "event_id": pdf["event_id"].astype("int64"),
+                "ts": pdf["ts"],
+                "session_id": pd.Series(sids, dtype="int64").values,
+            }
+        )
 
     return fn
 
@@ -107,9 +115,16 @@ def streaming_sessions(
         )
     )
     # file sinks are append-only; update-mode output goes through
-    # foreachBatch (exactly-once per epoch via the streaming checkpoint)
+    # foreachBatch.  foreachBatch alone is at-least-once — an epoch can be
+    # re-run after a crash between the write and the checkpoint commit —
+    # so the write is made idempotent by keying it on epoch_id: a retry
+    # OVERWRITES its own epoch directory instead of appending duplicates.
+    import os
+
     def _write_batch(df, epoch_id: int) -> None:
-        df.write.mode("append").parquet(output_dir)
+        df.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"epoch={epoch_id}")
+        )
 
     return (
         sessions.writeStream.foreachBatch(_write_batch)

@@ -81,3 +81,17 @@ def test_snapshot_isolation(spark, tmp_path):
     assert before.count() == 5  # old snapshot untouched
     assert store.read().count() == 4
     assert MIN_GROUP_SIZE == 2
+
+
+def test_soft_delete_drop_to_zero_and_dup_ids(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    # duplicate ids in one request are set-semantics: no row multiplication
+    res = store.soft_delete([20, 20, 21])
+    assert res["deleted_count"] == 2
+    assert store.read(include_deleted=True).count() == 5  # still 5 rows
+    # cluster 20 dropped 2 -> 0 active: reported complete even though the
+    # post-delete groupBy has no row for it at all
+    assert res["complete_groups"] == [20]
+    # an unrelated later delete must NOT re-report the already-complete 20
+    res2 = store.soft_delete([11])
+    assert res2["complete_groups"] == []

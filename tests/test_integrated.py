@@ -71,3 +71,15 @@ def test_pipeline_integrated_mode(spark, tiny_pages_df, cfg, tmp_path):
         F.min("score").alias("lo"), F.max("score").alias("hi")
     ).collect()[0]
     assert s["lo"] >= 0.85 * 0.8 and s["hi"] <= 1.0
+
+
+def test_partial_meta_table_not_dropped(spark):
+    """A pair endpoint with NO meta row at all behaves like a null key
+    (match=0, plain clause applies) — not silently dropped."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95)], "id_a long, id_b long, jaccard double"
+    )
+    meta = spark.createDataFrame([(1, "en|a")], "doc_id long, meta_key string")
+    got = integrated_pairs(pairs, meta).collect()
+    assert len(got) == 1
+    assert got[0]["metadata_match"] == 0.0
