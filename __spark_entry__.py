@@ -124,16 +124,31 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs(spark, sf_dir)
 
 
+_VERIFIED_CACHE: dict[str, DataFrame] = {}
+
+
+def _verified_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact-Jaccard verify, shared by three gates."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = _VERIFIED_CACHE.get(sf_dir)
+    if not _fresh(df, spark):
+        sig = _sig_gate(spark, sf_dir)
+        cands = lsh_candidate_pairs(sig, CFG_GATE)
+        df = verify_pairs(cands, sig, CFG_GATE).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _VERIFIED_CACHE[sf_dir] = df
+    return df
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production path: MinHash-LSH candidates + exact-Jaccard verify."""
-    sig = _sig_gate(spark, sf_dir)
-    cands = lsh_candidate_pairs(sig, CFG_GATE)
-    return verify_pairs(cands, sig, CFG_GATE).select("id_a", "id_b", "jaccard")
+    return _verified_gate(spark, sf_dir).select("id_a", "id_b", "jaccard")
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _sig_gate(spark, sf_dir)
-    verified = verify_pairs(lsh_candidate_pairs(sig, CFG_GATE), sig, CFG_GATE)
+    verified = _verified_gate(spark, sf_dir)
     return connected_components(verified.select("id_a", "id_b")).select(
         "doc_id", "cluster_id"
     )
