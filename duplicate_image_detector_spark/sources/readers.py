@@ -1,0 +1,70 @@
+"""Page-source readers: one normalized schema from parquet / JSON / CSV.
+
+S1 analog widened beyond parquet (the reference's single scan source is a
+filesystem walk, /root/reference/duplicate-detector.py:556-600; a webtext
+corpus arrives as Iceberg/parquet in production but JSON-lines (WARC-WET
+derivatives) and CSV exports are common interchange formats).  Every
+reader returns the same column set so `run_pipeline` is source-agnostic:
+
+    url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING
+
+Missing columns surface as typed nulls; extra columns are dropped.  The
+explicit schema is always supplied to the DataFrameReader — schema
+inference is a full extra pass over 100 TB and can mis-type sparse
+columns, so it is never used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+# CSV cannot carry binary html; it is read as a base64 string and decoded
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html_b64", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    cols = []
+    for field in PAGES_SCHEMA.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def read_pages(
+    spark: SparkSession, path: str, format: str = "parquet"
+) -> DataFrame:
+    """Read a pages table in ``format`` ('parquet' | 'json' | 'csv') and
+    normalize to PAGES_SCHEMA."""
+    if format == "parquet":
+        return _normalize(spark.read.parquet(path))
+    if format == "json":
+        # JSON-lines; explicit schema, no inference pass
+        return _normalize(spark.read.schema(PAGES_SCHEMA).json(path))
+    if format == "csv":
+        raw = spark.read.schema(_CSV_SCHEMA).option("header", "true").csv(path)
+        return _normalize(
+            raw.withColumn("html", F.unbase64(F.col("html_b64")))
+        )
+    raise ValueError(f"unsupported pages format: {format!r}")
