@@ -349,8 +349,9 @@ def _raw_kernel(n: int) -> int:
     return s
 
 
-def run_scaling(levels=(2, 8, 32)) -> None:
-    corpus = _ensure_corpus()
+def run_scaling(levels=(2, 8, 32), n_docs: int = 500000) -> None:
+    corpus = _ensure_corpus(n_docs)
+    default_run = n_docs == 500000
     results = {}
     for cpus in levels:
         print(f"scaling run at local[{cpus}] ...", file=sys.stderr)
@@ -385,9 +386,11 @@ def run_scaling(levels=(2, 8, 32)) -> None:
         "target": 0.8,
     }
     os.makedirs(BENCH_DIR, exist_ok=True)
-    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as fh:
+    out_name = "scaling.json" if default_run else f"scaling_{n_docs // 1000}k.json"
+    with open(os.path.join(BENCH_DIR, out_name), "w") as fh:
         json.dump(summary, fh, indent=2)
-    _write_baseline_md(results, summary)
+    if default_run:  # non-default corpus sizes never overwrite BASELINE.md
+        _write_baseline_md(results, summary)
     print(json.dumps(summary))
 
 
@@ -468,7 +471,12 @@ if __name__ == "__main__":
         inp = sys.argv[sys.argv.index("--input") + 1]
         run_scaling_worker(cpus, inp)
     elif "--scaling" in sys.argv:
-        run_scaling()
+        n_docs = (
+            int(sys.argv[sys.argv.index("--docs") + 1])
+            if "--docs" in sys.argv
+            else 500000
+        )
+        run_scaling(n_docs=n_docs)
     elif "--skew" in sys.argv:
         run_skew()
     else:
