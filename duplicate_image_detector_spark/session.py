@@ -41,7 +41,11 @@ def get_spark(
         # scan batching so a 32-core node gets 32+ input tasks (the default
         # 128 MB splits a ~2 GB corpus into ~15 tasks and caps parallelism)
         .config("spark.sql.files.maxPartitionBytes", "33554432")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs driver + all executor threads in ONE JVM: heap
+        # must cover 32 concurrent tasks' scan/cache/shuffle buffers (8g
+        # OOMs a 32-thread run on a ~2M-doc corpus; Xmx is a ceiling, not
+        # a reservation, so a big default is safe for small runs too)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
