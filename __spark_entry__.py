@@ -337,6 +337,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate by construction -> rows-only driver check; recall >= 0.9
+    # vs brute force asserted in tests/test_similarity.py
+    from duplicate_image_detector_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    return ann_ivf_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
 
@@ -520,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "tpch_q1": q_tpch_q1,
         "top_orders_per_cust": q_top_orders_per_cust,
         "customers_without_orders": q_customers_without_orders,
@@ -824,7 +835,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) >= 0.35
 """,
-        # ann_lsh_topk: approximate -> rows-only check, no oracle
+        # ann_lsh_topk / ann_ivf_topk: approximate -> rows-only check, no oracle
         "tpch_q1": _Q1_SQL,
         "top_orders_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("

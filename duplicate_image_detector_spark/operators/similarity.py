@@ -408,6 +408,119 @@ def ann_lsh_topk(
     )
     cands.count()
     multi.unpersist()
+    return _rerank_topk(cands, emb, k, id_col, vec_col, round_digits)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_rows: int = 100000,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the second ANN
+    scale path next to ``ann_lsh_topk``:
+
+      1. seeded spherical k-means on a bounded driver-side SAMPLE
+         (``sample_rows`` rows — never the full corpus) yields
+         ``n_centroids`` centroids, broadcast everywhere;
+      2. every corpus vector is assigned to its nearest centroid
+         (NumPy matmul per Arrow batch — one pass, no shuffle);
+      3. every query probes its ``n_probe`` nearest centroids; candidates
+         are the corpus members of the probed cells (equi-join on
+         centroid id);
+      4. exact cosine re-rank of candidates (shared verify stage).
+
+    Candidate volume per query ≈ n * n_probe / n_centroids — tune
+    n_centroids ~ sqrt(n) and n_probe for the recall/cost point.  The
+    centroid-id join is hash-partitioned; cell sizes concentrate around
+    n/n_centroids (k-means balances far better than LSH buckets), and AQE's
+    skew split handles residual imbalance.  Recall measured in tests.
+    """
+    rng_sample = emb.select(id_col, vec_col)
+    n = rng_sample.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample_df = (
+        rng_sample.sample(fraction=frac, seed=seed) if frac < 1.0 else rng_sample
+    )
+    _ids, mat, _norms = _collect_block(sample_df, id_col, vec_col)
+    if len(mat) == 0:
+        return emb.sparkSession.createDataFrame([], _TOPK_SCHEMA)
+    nc = min(n_centroids, len(mat))
+    rng = np.random.default_rng(seed)
+    # spherical k-means: cosine assignment == dot on normalized vectors
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    centroids = unit[rng.choice(len(unit), size=nc, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(unit @ centroids.T, axis=1)
+        for c in range(nc):
+            members = unit[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    sc = emb.sparkSession.sparkContext
+    b_cent = sc.broadcast(centroids)
+
+    def assign_gen(probe: int):
+        def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            cent = b_cent.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                q = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                q = q / np.maximum(
+                    np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+                )
+                sims = q @ cent.T
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, probe),
+                        "centroid": top.ravel().astype(np.int32),
+                    }
+                )
+
+        return gen
+
+    schema = "vec_id bigint, centroid int"
+    base = emb.select(id_col, vec_col)
+    cells = base.mapInPandas(assign_gen(1), schema=schema)
+    probes = base.mapInPandas(assign_gen(min(n_probe, nc)), schema=schema)
+    cands = (
+        probes.join(
+            cells.select(
+                F.col("vec_id").alias("neighbor_id"), "centroid"
+            ),
+            "centroid",
+        )
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    return _rerank_topk(cands, emb, k, id_col, vec_col, round_digits)
+
+
+def _rerank_topk(
+    cands: DataFrame,
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Exact-cosine re-rank of candidate (vec_id, neighbor_id) pairs to
+    per-query top-k — shared by every ANN method (candidates differ, the
+    verify stage does not)."""
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

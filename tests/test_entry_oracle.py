@@ -75,7 +75,7 @@ def test_query_matches_oracle(spark, name):
 def test_all_queries_have_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
     # approximate operators are rows-only by design
-    assert missing == {"ann_lsh_topk"}, missing
+    assert missing == {"ann_lsh_topk", "ann_ivf_topk"}, missing
 
 
 def test_entry_smoke(spark):

@@ -134,3 +134,32 @@ def test_cosine_dup_pairs_exact_and_blocked(emb_df, spark):
     assert len(single) > 0
     assert (single["id_a"] < single["id_b"]).all()
     assert (single["cos"] >= 0.9).all()
+
+
+def test_ann_ivf_recall_vs_brute_force(emb_df):
+    from duplicate_image_detector_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    brute = cosine_topk(emb_df, k=4).toPandas()
+    ivf = ann_ivf_topk(
+        emb_df, k=4, n_centroids=40, n_probe=6, kmeans_iters=8
+    ).toPandas()
+    want = set(zip(brute["vec_id"], brute["neighbor_id"]))
+    got = set(zip(ivf["vec_id"], ivf["neighbor_id"]))
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+
+
+def test_ann_ivf_deterministic(emb_df):
+    from duplicate_image_detector_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    a = ann_ivf_topk(emb_df, k=3).toPandas().sort_values(
+        ["vec_id", "rank"], ignore_index=True
+    )
+    b = ann_ivf_topk(emb_df, k=3).toPandas().sort_values(
+        ["vec_id", "rank"], ignore_index=True
+    )
+    assert a.equals(b)
