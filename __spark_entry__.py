@@ -266,6 +266,19 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline token sizing: BPE-ish pretokenizer chunk count
+    (lookahead-free regex shared verbatim with the DuckDB oracle)."""
+    from duplicate_image_detector_spark.functions.textstats import (
+        bpe_token_count_col,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select(
+        "doc_id", bpe_token_count_col(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     return d.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
@@ -523,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
+        "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
         "binary_meta": q_binary_meta,
         "doc_validity_stats": q_doc_validity_stats,
@@ -807,6 +821,11 @@ SELECT cluster_id, doc_id, is_rep, rank FROM (
         "doc_fingerprint": _FINGERPRINT_SQL,
         "lang_id": _lang_sql(),
         "token_stats": _TOKEN_STATS_SQL,
+        "bpe_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(lower(text),"
+            " ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))::BIGINT AS n_bpe_tokens "
+            "FROM documents WHERE text IS NOT NULL"
+        ),
         "quality_score": _QUALITY_SQL,
         "binary_meta": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "

@@ -83,7 +83,9 @@ def run_default() -> None:
     timed("events_pivot", lambda: E.q_events_pivot(spark, sf_dir).count())
     timed("orders_rollup", lambda: E.q_orders_rollup(spark, sf_dir).count())
     timed("cosine_topk", lambda: E.q_cosine_topk(spark, sf_dir).count())
+    timed("cosine_dup_pairs", lambda: E.q_cosine_dup_pairs(spark, sf_dir).count())
     timed("ann_lsh_topk", lambda: E.q_ann_lsh_topk(spark, sf_dir).count())
+    timed("ann_ivf_topk", lambda: E.q_ann_ivf_topk(spark, sf_dir).count())
     timed("token_stats", lambda: E.q_token_stats(spark, sf_dir).count())
     timed("quality_score", lambda: E.q_quality_score(spark, sf_dir).count())
     timed("lang_id", lambda: E.q_lang_id(spark, sf_dir).count())

@@ -83,6 +83,20 @@ def quality_score_col(text: Column) -> Column:
     )
 
 
+# BPE-style pretokenizer chunks: optional-leading-space letter runs,
+# digit runs, and punctuation runs (a lookahead-free subset of the GPT-2
+# pattern so Java regex (Spark) and RE2 (DuckDB) agree exactly)
+BPE_TOKEN_REGEX = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Approximate LLM token count: number of BPE-style pretokenizer
+    chunks over the lowercased text.  A cheap, deterministic stand-in for
+    a real BPE vocab merge count (the standard sizing heuristic in
+    training-data pipelines)."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_TOKEN_REGEX)).cast("long")
+
+
 def fingerprint_cols(text: Column, k: int = 5, n_keep: int = 5) -> dict[str, Column]:
     """Bottom-n_keep md5 fingerprints over k-word shingles (a MinHash-style
     bottom-k sketch with a portable hash): ``min_fp`` is the single minimum
