@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from duplicate_image_detector_spark.config import PipelineConfig
 from duplicate_image_detector_spark.functions.textstats import (
+    BPE_TOKEN_REGEX,
     STOPWORDS,
     fingerprint_cols,
     lang_id_col,
@@ -81,6 +82,20 @@ _PAIRS_CACHE: dict[tuple[str, float], DataFrame] = {}
 
 def _fresh(df: DataFrame | None, spark: SparkSession) -> bool:
     return df is not None and df.sparkSession is spark
+
+
+def clear_caches() -> None:
+    """Unpersist and drop the shared memo tables.  The bench harness calls
+    this before each timed query so every per-query number is a COLD-cache
+    cost (comparable across rounds); the driver's correctness run keeps
+    the caches warm — sharing only helps there."""
+    for cache in (_SIG_CACHE, _PAIRS_CACHE, _VERIFIED_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
 
 
 def _sig_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,9 +836,12 @@ SELECT cluster_id, doc_id, is_rep, rank FROM (
         "doc_fingerprint": _FINGERPRINT_SQL,
         "lang_id": _lang_sql(),
         "token_stats": _TOKEN_STATS_SQL,
+        # the regex is interpolated from the SAME constant the Spark gate
+        # uses (literal control chars inside the SQL string — DuckDB
+        # single-quote literals are escape-free, so bytes pass verbatim)
         "bpe_token_count": (
             "SELECT doc_id, len(regexp_extract_all(lower(text),"
-            " ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))::BIGINT AS n_bpe_tokens "
+            f" '{BPE_TOKEN_REGEX}'))::BIGINT AS n_bpe_tokens "
             "FROM documents WHERE text IS NOT NULL"
         ),
         "quality_score": _QUALITY_SQL,

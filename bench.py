@@ -56,6 +56,10 @@ def run_default() -> None:
     meta: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
+        # cold-cache per query: the gate-level memo tables would otherwise
+        # let whichever query runs FIRST absorb the shared LSH/signature
+        # cost and make later timings incomparable across rounds
+        E.clear_caches()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
@@ -376,6 +380,10 @@ def run_scaling(levels=(2, 8, 32), n_docs: int = 500000) -> None:
         "metric": "scaling_efficiency_sig_lsh",
         "value": eff(*pairs[0], engine_walls),
         "unit": "ratio",
+        # actual generated corpus size (the generator rounds n_docs down
+        # to a partition multiple) — recorded so custom-size files are
+        # self-describing
+        "n_docs": results[levels[0]]["n_docs"],
         "pairs": {
             f"{lo}_to_{hi}": {
                 "engine": eff(lo, hi, engine_walls),

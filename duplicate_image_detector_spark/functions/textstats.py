@@ -84,9 +84,13 @@ def quality_score_col(text: Column) -> Column:
 
 
 # BPE-style pretokenizer chunks: optional-leading-space letter runs,
-# digit runs, and punctuation runs (a lookahead-free subset of the GPT-2
-# pattern so Java regex (Spark) and RE2 (DuckDB) agree exactly)
-BPE_TOKEN_REGEX = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+# digit runs, and punctuation runs — a lookahead-free subset of the GPT-2
+# pattern.  The whitespace class is SPELLED OUT as literal characters:
+# Java regex \s includes \x0B (vertical tab) while RE2's does not, so a
+# shared \s would silently diverge between Spark and the DuckDB oracle on
+# scraped webtext containing vertical tabs.
+_WS_CHARS = " \t\n\f\r\x0b"
+BPE_TOKEN_REGEX = f" ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_WS_CHARS}]+"
 
 
 def bpe_token_count_col(text: Column) -> Column:

@@ -496,6 +496,10 @@ def ann_ivf_topk(
     base = emb.select(id_col, vec_col)
     cells = base.mapInPandas(assign_gen(1), schema=schema)
     probes = base.mapInPandas(assign_gen(min(n_probe, nc)), schema=schema)
+    # no dropDuplicates: each corpus vector lives in exactly ONE cell and a
+    # query's probed centroids are distinct, so a (query, neighbor) pair
+    # can match on at most one centroid — dedup here would be a pure
+    # wasted shuffle over the operator's largest intermediate
     cands = (
         probes.join(
             cells.select(
@@ -505,7 +509,6 @@ def ann_ivf_topk(
         )
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
-        .dropDuplicates(["vec_id", "neighbor_id"])
     )
     return _rerank_topk(cands, emb, k, id_col, vec_col, round_digits)
 

@@ -14,6 +14,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """60% of physical RAM, clamped to [2g, 31g] (see config comment)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(fh.readline().split()[1])  # MemTotal
+        gb = int(kb / 1024 / 1024 * 0.6)
+    except Exception:
+        gb = 8
+    return f"{min(max(gb, 2), 31)}g"
+
+
 def get_spark(
     app_name: str = "webtext-dedup",
     master: str | None = None,
@@ -43,9 +54,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         # local mode runs driver + all executor threads in ONE JVM: heap
         # must cover 32 concurrent tasks' scan/cache/shuffle buffers (8g
-        # OOMs a 32-thread run on a ~2M-doc corpus; Xmx is a ceiling, not
-        # a reservation, so a big default is safe for small runs too)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # OOMs a 32-thread run on a ~2M-doc corpus).  Default: 60% of
+        # physical RAM capped at 31g — staying UNDER 32g keeps compressed
+        # oops on (at 32g every reference doubles to 8 bytes, so 31g holds
+        # more than 32g), and the RAM-derived floor keeps the ceiling
+        # below physical memory on small hosts where 32g would invite the
+        # OS OOM-killer instead of Spark's own spilling.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_heap()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -8,10 +8,11 @@ reader returns the same column set so `run_pipeline` is source-agnostic:
 
     url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING
 
-Missing columns surface as typed nulls; extra columns are dropped.  The
-explicit schema is always supplied to the DataFrameReader — schema
-inference is a full extra pass over 100 TB and can mis-type sparse
-columns, so it is never used.
+Missing columns surface as typed nulls; extra columns are dropped.
+Schema inference is never used (a full extra pass over 100 TB that can
+mis-type sparse columns): parquet/JSON get the explicit schema; CSV is
+read as headered strings — user schemas bind CSV columns by POSITION,
+not name, so explicit casts by name happen after the read instead.
 """
 
 from __future__ import annotations
@@ -29,18 +30,6 @@ PAGES_SCHEMA = T.StructType(
         T.StructField("lang", T.StringType()),
     ]
 )
-
-# CSV cannot carry binary html; it is read as a base64 string and decoded
-_CSV_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType()),
-        T.StructField("warc_ts", T.TimestampType()),
-        T.StructField("html_b64", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-    ]
-)
-
 
 def _normalize(df: DataFrame) -> DataFrame:
     cols = []
@@ -63,8 +52,17 @@ def read_pages(
         # JSON-lines; explicit schema, no inference pass
         return _normalize(spark.read.schema(PAGES_SCHEMA).json(path))
     if format == "csv":
-        raw = spark.read.schema(_CSV_SCHEMA).option("header", "true").csv(path)
-        return _normalize(
-            raw.withColumn("html", F.unbase64(F.col("html_b64")))
-        )
+        # NO user schema here: a user schema binds CSV columns by POSITION
+        # (the header is skipped, not matched), so any reordered export
+        # would silently load fields crosswise.  Headerless string columns
+        # are matched BY NAME, then cast in _normalize; html travels as
+        # base64 (CSV cannot carry binary) and decodes via try_to_binary so
+        # a malformed cell degrades to null instead of failing the job
+        # under ANSI mode.
+        raw = spark.read.option("header", "true").csv(path)
+        if "html_b64" in raw.columns:
+            raw = raw.withColumn(
+                "html", F.try_to_binary(F.col("html_b64"), F.lit("base64"))
+            )
+        return _normalize(raw)
     raise ValueError(f"unsupported pages format: {format!r}")

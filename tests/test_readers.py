@@ -90,3 +90,22 @@ def test_pipeline_source_agnostic(spark, tiny_pages_df, cfg, tmp_path):
         for r in r_js.clusters.select("url", "cluster_id").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_csv_reordered_columns_and_bad_base64(spark, tmp_path):
+    """CSV columns are matched by NAME (a user schema would bind them by
+    position and load fields crosswise); malformed base64 degrades to a
+    null html, not a job failure."""
+    p = str(tmp_path / "reordered")
+    rows = [
+        ("hello world text", "en", "https://a.com/x", "aGk="),       # "hi"
+        ("more text here", "de", "https://b.com/y", "!!!not-b64!!!"),
+    ]
+    spark.createDataFrame(
+        rows, "text string, lang string, url string, html_b64 string"
+    ).write.option("header", "true").csv(p)
+    got = {r["url"]: r for r in read_pages(spark, p, "csv").collect()}
+    assert got["https://a.com/x"]["text"] == "hello world text"
+    assert got["https://a.com/x"]["lang"] == "en"
+    assert bytes(got["https://a.com/x"]["html"]) == b"hi"
+    assert got["https://b.com/y"]["html"] is None  # bad b64 -> typed null
