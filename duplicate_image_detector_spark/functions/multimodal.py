@@ -98,6 +98,111 @@ def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "url string, media binary, width int, height int"
+FRAMES_SCHEMA = "url string, frame_idx int, frame binary"
+
+
+def py_encode_fake(w: int, h: int, payload: bytes) -> bytes:
+    return b"FAKE" + w.to_bytes(4, "big") + h.to_bytes(4, "big") + payload
+
+
+def resize_media(
+    media_df: DataFrame, max_side: int = 256, codec: str = "stub"
+) -> DataFrame:
+    """(url, media binary) -> (url, media binary, width, height) with
+    max(width, height) <= max_side — the reference's pre-model resize
+    (ref :850-925) as an Arrow-batched stage.  The fake codec scales the
+    header dims and truncates the payload proportionally (deterministic);
+    the production slot is PIL/opencv.  Corrupt rows are dropped (M6)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs, ws, hs = [], [], [], []
+            for url, blob in zip(pdf["url"], pdf["media"]):
+                if blob is None:
+                    continue
+                if codec == "stub":
+                    raise NotImplementedError(
+                        "real media resize not available; use codec='fake'"
+                    )
+                try:
+                    w, h, payload = py_decode_fake(bytes(blob))
+                except Exception:
+                    continue
+                scale = min(1.0, max_side / max(w, h, 1))
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                keep = max(int(len(payload) * scale * scale), 0)
+                urls.append(url)
+                blobs.append(py_encode_fake(nw, nh, payload[:keep]))
+                ws.append(nw)
+                hs.append(nh)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "media": blobs,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return media_df.select("url", "media").mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media_df: DataFrame,
+    every_n: int = 2,
+    frame_bytes: int = 64,
+    max_frames: int = 16,
+    codec: str = "stub",
+) -> DataFrame:
+    """(url, media binary) -> one row per sampled frame (url, frame_idx,
+    frame binary) — the video frame-sampling stage.  The fake codec treats
+    the payload as consecutive ``frame_bytes`` chunks and keeps every
+    ``every_n``-th up to ``max_frames``; the production slot is ffmpeg
+    keyframe extraction.  Output explodes rows, so the stage runs BEFORE
+    any shuffle of the (large) media column — downstream operators see
+    only the (small) sampled frames."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            urls, idxs, frames = [], [], []
+            for url, blob in zip(pdf["url"], pdf["media"]):
+                if blob is None:
+                    continue
+                if codec == "stub":
+                    raise NotImplementedError(
+                        "real frame sampling not available; use codec='fake'"
+                    )
+                try:
+                    _, _, payload = py_decode_fake(bytes(blob))
+                except Exception:
+                    continue
+                n = len(payload) // frame_bytes
+                taken = 0
+                for i in range(0, n, every_n):
+                    if taken >= max_frames:
+                        break
+                    urls.append(url)
+                    idxs.append(i)
+                    frames.append(
+                        payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    )
+                    taken += 1
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media_df.select("url", "media").mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
 def extract_media_features(media_df: DataFrame, codec: str = "stub") -> DataFrame:
     """(url, media binary) -> (url, feature array<float>[FEATURE_DIM]).
 

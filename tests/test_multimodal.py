@@ -61,3 +61,39 @@ def test_feature_extraction_shape_and_determinism(spark, media_df):
     a = {u: list(f) for u, f in zip(feats["url"], feats["feature"])}
     b = {u: list(f) for u, f in zip(again["url"], again["feature"])}
     assert a == b
+
+
+def test_resize_media_fake(spark, media_df):
+    from duplicate_image_detector_spark.functions.multimodal import (
+        py_decode_fake as dec,
+        resize_media,
+    )
+
+    out = {r["url"]: r for r in resize_media(media_df, max_side=100, codec="fake").collect()}
+    # corrupt + null rows dropped
+    assert set(out) == {"img1", "img2"}
+    assert max(out["img1"]["width"], out["img1"]["height"]) <= 100
+    assert max(out["img2"]["width"], out["img2"]["height"]) <= 100
+    # aspect preserved (within integer truncation) and blob re-encoded
+    w, h, _ = dec(bytes(out["img2"]["media"]))
+    assert (w, h) == (out["img2"]["width"], out["img2"]["height"])
+    assert abs(w / h - 1920 / 1080) < 0.05
+    # already-small media unchanged
+    same = {r["url"]: r for r in resize_media(media_df, max_side=4000, codec="fake").collect()}
+    assert (same["img1"]["width"], same["img1"]["height"]) == (640, 480)
+
+
+def test_sample_frames_fake(spark):
+    from duplicate_image_detector_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    payload = bytes(range(256)) * 4  # 1024 bytes = 16 frames of 64
+    rows = [("vid1", _blob(8, 8, payload), "video"), ("bad", bytearray(b"nope"), "video")]
+    df = spark.createDataFrame(rows, "url string, media binary, media_type string")
+    out = sample_frames(df, every_n=2, frame_bytes=64, max_frames=5, codec="fake").collect()
+    got = {(r["url"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    # every 2nd frame, capped at 5; corrupt row contributes nothing
+    assert sorted(i for (_, i) in got) == [0, 2, 4, 6, 8]
+    assert got[("vid1", 2)] == payload[2 * 64 : 3 * 64]
+    assert all(u == "vid1" for (u, _) in got)
