@@ -380,9 +380,10 @@ def run_scaling(levels=(2, 8, 32), n_docs: int = 500000) -> None:
         "metric": "scaling_efficiency_sig_lsh",
         "value": eff(*pairs[0], engine_walls),
         "unit": "ratio",
-        # actual generated corpus size (the generator rounds n_docs down
-        # to a partition multiple) — recorded so custom-size files are
-        # self-describing
+        # the worker's measured document count: post-min-length-filter
+        # (the generator plants short docs and also rounds the requested
+        # size to a partition multiple), i.e. the docs/sec denominator —
+        # NOT the raw generated row count
         "n_docs": results[levels[0]]["n_docs"],
         "pairs": {
             f"{lo}_to_{hi}": {

@@ -46,6 +46,28 @@ def py_decode_fake(data: bytes) -> tuple[int, int, bytes]:
     return w, h, data[12:]
 
 
+def _media_stage(media_df, cols, codec, stage_name, batch_fn, schema):
+    """Shared mapInPandas wrapper for every media stage.
+
+    One place for the batch shape and — critically — the stub gate: it is
+    HOISTED above any per-row null-skip, so the default ``codec='stub'``
+    fails loudly on every partition (even empty or all-null-media ones)
+    instead of silently yielding an empty result.  ``batch_fn(pdf)``
+    returns one pandas frame per Arrow batch.
+    """
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        if codec == "stub":
+            raise NotImplementedError(
+                f"real {stage_name} not available in this environment; "
+                "use codec='fake' or plug a codec in"
+            )
+        for pdf in batches:
+            yield batch_fn(pdf)
+
+    return media_df.select(*cols).mapInPandas(gen, schema=schema)
+
+
 def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
     """(url, media binary, media_type) -> typed metadata rows.
 
@@ -54,47 +76,44 @@ def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
     PIL/opencv/ffmpeg).  Corrupt rows yield valid=false, never fail the
     job (M6 tolerance, ref :948-949)."""
 
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        for pdf in batches:
-            out = {k: [] for k in ("url", "media_type", "width", "height", "n_bytes", "sha256", "valid")}
-            for url, blob, mt in zip(pdf["url"], pdf["media"], pdf["media_type"]):
-                raw = bytes(blob) if blob is not None else b""
-                out["url"].append(url)
-                out["media_type"].append(mt)
-                out["n_bytes"].append(len(raw))
-                out["sha256"].append(hashlib.sha256(raw).hexdigest())
-                try:
-                    if codec == "stub":
-                        raise NotImplementedError(
-                            "real media decode not available in this "
-                            "environment; use codec='fake' or plug a codec in"
-                        )
-                    w, h, _ = py_decode_fake(raw)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["valid"].append(True)
-                except NotImplementedError:
-                    raise
-                except Exception:
-                    out["width"].append(0)
-                    out["height"].append(0)
-                    out["valid"].append(False)
-            yield pd.DataFrame(
-                {
-                    "url": out["url"],
-                    "media_type": out["media_type"],
-                    "width": pd.Series(out["width"], dtype="int32"),
-                    "height": pd.Series(out["height"], dtype="int32"),
-                    "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
-                    "sha256": out["sha256"],
-                    "valid": pd.Series(out["valid"], dtype="bool"),
-                }
-            )
+        out = {k: [] for k in ("url", "media_type", "width", "height", "n_bytes", "sha256", "valid")}
+        for url, blob, mt in zip(pdf["url"], pdf["media"], pdf["media_type"]):
+            raw = bytes(blob) if blob is not None else b""
+            out["url"].append(url)
+            out["media_type"].append(mt)
+            out["n_bytes"].append(len(raw))
+            out["sha256"].append(hashlib.sha256(raw).hexdigest())
+            try:
+                w, h, _ = py_decode_fake(raw)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["valid"].append(True)
+            except Exception:
+                out["width"].append(0)
+                out["height"].append(0)
+                out["valid"].append(False)
+        return pd.DataFrame(
+            {
+                "url": out["url"],
+                "media_type": out["media_type"],
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                "sha256": out["sha256"],
+                "valid": pd.Series(out["valid"], dtype="bool"),
+            }
+        )
 
-    return media_df.select("url", "media", "media_type").mapInPandas(
-        gen, schema=MEDIA_META_SCHEMA
+    return _media_stage(
+        media_df,
+        ("url", "media", "media_type"),
+        codec,
+        "media decode",
+        batch,
+        MEDIA_META_SCHEMA,
     )
 
 
@@ -115,39 +134,36 @@ def resize_media(
     header dims and truncates the payload proportionally (deterministic);
     the production slot is PIL/opencv.  Corrupt rows are dropped (M6)."""
 
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        for pdf in batches:
-            urls, blobs, ws, hs = [], [], [], []
-            for url, blob in zip(pdf["url"], pdf["media"]):
-                if blob is None:
-                    continue
-                if codec == "stub":
-                    raise NotImplementedError(
-                        "real media resize not available; use codec='fake'"
-                    )
-                try:
-                    w, h, payload = py_decode_fake(bytes(blob))
-                except Exception:
-                    continue
-                scale = min(1.0, max_side / max(w, h, 1))
-                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                keep = max(int(len(payload) * scale * scale), 0)
-                urls.append(url)
-                blobs.append(py_encode_fake(nw, nh, payload[:keep]))
-                ws.append(nw)
-                hs.append(nh)
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "media": blobs,
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                }
-            )
+        urls, blobs, ws, hs = [], [], [], []
+        for url, blob in zip(pdf["url"], pdf["media"]):
+            if blob is None:
+                continue
+            try:
+                w, h, payload = py_decode_fake(bytes(blob))
+            except Exception:
+                continue
+            scale = min(1.0, max_side / max(w, h, 1))
+            nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+            keep = max(int(len(payload) * scale * scale), 0)
+            urls.append(url)
+            blobs.append(py_encode_fake(nw, nh, payload[:keep]))
+            ws.append(nw)
+            hs.append(nh)
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "media": blobs,
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+            }
+        )
 
-    return media_df.select("url", "media").mapInPandas(gen, schema=RESIZED_SCHEMA)
+    return _media_stage(
+        media_df, ("url", "media"), codec, "media resize", batch, RESIZED_SCHEMA
+    )
 
 
 def sample_frames(
@@ -165,42 +181,37 @@ def sample_frames(
     any shuffle of the (large) media column — downstream operators see
     only the (small) sampled frames."""
 
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        for pdf in batches:
-            urls, idxs, frames = [], [], []
-            for url, blob in zip(pdf["url"], pdf["media"]):
-                if blob is None:
-                    continue
-                if codec == "stub":
-                    raise NotImplementedError(
-                        "real frame sampling not available; use codec='fake'"
-                    )
-                try:
-                    _, _, payload = py_decode_fake(bytes(blob))
-                except Exception:
-                    continue
-                n = len(payload) // frame_bytes
-                taken = 0
-                for i in range(0, n, every_n):
-                    if taken >= max_frames:
-                        break
-                    urls.append(url)
-                    idxs.append(i)
-                    frames.append(
-                        payload[i * frame_bytes : (i + 1) * frame_bytes]
-                    )
-                    taken += 1
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame": frames,
-                }
-            )
+        urls, idxs, frames = [], [], []
+        for url, blob in zip(pdf["url"], pdf["media"]):
+            if blob is None:
+                continue
+            try:
+                _, _, payload = py_decode_fake(bytes(blob))
+            except Exception:
+                continue
+            n = len(payload) // frame_bytes
+            taken = 0
+            for i in range(0, n, every_n):
+                if taken >= max_frames:
+                    break
+                urls.append(url)
+                idxs.append(i)
+                frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                taken += 1
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": frames,
+            }
+        )
 
-    return media_df.select("url", "media").mapInPandas(gen, schema=FRAMES_SCHEMA)
+    return _media_stage(
+        media_df, ("url", "media"), codec, "frame sampling", batch, FRAMES_SCHEMA
+    )
 
 
 def extract_media_features(media_df: DataFrame, codec: str = "stub") -> DataFrame:
@@ -211,23 +222,25 @@ def extract_media_features(media_df: DataFrame, codec: str = "stub") -> DataFram
     exercisable end-to-end without a model.  The production slot is a
     batched model forward (ref :1024-1098)."""
 
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        for pdf in batches:
-            urls, feats = [], []
-            for url, blob in zip(pdf["url"], pdf["media"]):
-                raw = bytes(blob) if blob is not None else b""
-                if codec == "stub":
-                    raise NotImplementedError(
-                        "real feature extraction not available; use codec='fake'"
-                    )
-                seed = int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(FEATURE_DIM)
-                v = (v / np.linalg.norm(v)).astype(np.float32)
-                urls.append(url)
-                feats.append(v.tolist())
-            yield pd.DataFrame({"url": urls, "feature": feats})
+        urls, feats = [], []
+        for url, blob in zip(pdf["url"], pdf["media"]):
+            raw = bytes(blob) if blob is not None else b""
+            seed = int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(FEATURE_DIM)
+            v = (v / np.linalg.norm(v)).astype(np.float32)
+            urls.append(url)
+            feats.append(v.tolist())
+        return pd.DataFrame({"url": urls, "feature": feats})
 
-    return media_df.select("url", "media").mapInPandas(gen, schema=FEATURE_SCHEMA)
+    return _media_stage(
+        media_df,
+        ("url", "media"),
+        codec,
+        "feature extraction",
+        batch,
+        FEATURE_SCHEMA,
+    )

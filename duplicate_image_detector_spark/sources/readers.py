@@ -32,10 +32,15 @@ PAGES_SCHEMA = T.StructType(
 )
 
 def _normalize(df: DataFrame) -> DataFrame:
+    # try_cast, not cast: under Spark 4 ANSI mode a plain cast THROWS on a
+    # malformed cell (e.g. a non-ISO warc_ts string from a CSV export) —
+    # the reader's contract is per-row degradation to typed nulls
     cols = []
     for field in PAGES_SCHEMA.fields:
         if field.name in df.columns:
-            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            cols.append(
+                F.col(field.name).try_cast(field.dataType).alias(field.name)
+            )
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
@@ -60,6 +65,9 @@ def read_pages(
         # a malformed cell degrades to null instead of failing the job
         # under ANSI mode.
         raw = spark.read.option("header", "true").csv(path)
+        # name matching must be case-insensitive (Spark's own resolver is):
+        # an uppercase-header export would otherwise normalize to all nulls
+        raw = raw.toDF(*[c.lower() for c in raw.columns])
         if "html_b64" in raw.columns:
             raw = raw.withColumn(
                 "html", F.try_to_binary(F.col("html_b64"), F.lit("base64"))

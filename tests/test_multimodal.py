@@ -97,3 +97,20 @@ def test_sample_frames_fake(spark):
     assert sorted(i for (_, i) in got) == [0, 2, 4, 6, 8]
     assert got[("vid1", 2)] == payload[2 * 64 : 3 * 64]
     assert all(u == "vid1" for (u, _) in got)
+
+
+def test_stub_raises_even_on_null_media(spark):
+    """The stub gate is hoisted above the per-row null skip: an all-null
+    media column must fail loudly, not yield an empty result."""
+    from duplicate_image_detector_spark.functions.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", None, "video")], "url string, media binary, media_type string"
+    )
+    for op in (resize_media, sample_frames):
+        with pytest.raises(Exception) as exc:
+            op(df).collect()
+        assert "not available" in str(exc.value)

@@ -109,3 +109,18 @@ def test_csv_reordered_columns_and_bad_base64(spark, tmp_path):
     assert got["https://a.com/x"]["lang"] == "en"
     assert bytes(got["https://a.com/x"]["html"]) == b"hi"
     assert got["https://b.com/y"]["html"] is None  # bad b64 -> typed null
+
+
+def test_csv_malformed_timestamp_degrades_to_null(spark, tmp_path):
+    """ANSI mode: a non-ISO warc_ts cell must become a null, not abort the
+    job (try_cast in _normalize); uppercase headers match case-insensitively."""
+    p = str(tmp_path / "badts")
+    spark.createDataFrame(
+        [("https://a.com", "02/01/2024 03:04", "some text"),
+         ("https://b.com", "2024-02-01 03:04:05", "more text")],
+        "URL string, WARC_TS string, TEXT string",
+    ).write.option("header", "true").csv(p)
+    got = {r["url"]: r for r in read_pages(spark, p, "csv").collect()}
+    assert got["https://a.com"]["warc_ts"] is None       # malformed -> null
+    assert got["https://a.com"]["text"] == "some text"   # row survives
+    assert got["https://b.com"]["warc_ts"] is not None   # valid parses
