@@ -72,6 +72,19 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-vacuous exact-tier gate: the same groupBy-stats + join-back plan
+    as exact_dup_clusters, keyed on the first-100-char text prefix — a key
+    that DOES collide in the driver fixture (byte-identical full texts do
+    not exist there, so the sha256 gate passes on 0 = 0 rows)."""
+    return exact_clusters(
+        _docs(spark, sf_dir),
+        CFG,
+        key_col=F.substring(F.col("text"), 1, 100),
+        tier="exact_prefix",
+    ).select("doc_id", "cluster_id", "tier")
+
+
 # session-scoped memo tables (S8 cache analog): several gates share the
 # same signatures / exact-Jaccard pair set — compute and persist each ONCE
 # per (sf_dir, params) instead of once per gate, and never pile up stale
@@ -532,6 +545,49 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-surface gate (§2.10): the availableNow watermarked
+    tumbling-window aggregation run for real — readStream over the events
+    parquet, append-mode parquet sink, then the sink read back.  With one
+    availableNow batch the output is exactly the batch aggregation
+    restricted to watermark-closed windows (window_end <= max(ts) -
+    watermark), which is what the DuckDB oracle computes."""
+    import os
+    import tempfile
+
+    from duplicate_image_detector_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_gate_")
+    out_dir = os.path.join(base, "out")
+    chk = os.path.join(base, "chk")
+    # FileStreamSource requires a DIRECTORY; the driver table may be a
+    # single parquet file — stage it into a landing dir via symlink
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        landing = os.path.join(base, "landing")
+        os.makedirs(landing)
+        os.symlink(src, os.path.join(landing, "events.parquet"))
+        src = landing
+    q = windowed_event_counts(
+        spark,
+        src,
+        out_dir,
+        chk,
+        window="1 minute",
+        watermark="10 minutes",
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: near-dup clusters."""
     return q_near_dup_clusters(spark, "/root/testdata/sf0.001")
@@ -540,6 +596,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
+        "exact_prefix_clusters": q_exact_prefix_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
@@ -571,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "orders_rollup": q_orders_rollup,
         "dup_stats": q_dup_stats,
+        "windowed_event_counts": q_windowed_event_counts,
     }
 
 
@@ -769,6 +827,32 @@ SELECT doc_id, cluster_id, tier FROM (
 ) WHERE n >= 2
 """
 
+_EXACT_PREFIX_SQL = """
+SELECT doc_id, cluster_id, tier FROM (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY substr(text, 1, 100)) AS cluster_id,
+         count(*) OVER (PARTITION BY substr(text, 1, 100)) AS n,
+         'exact_prefix' AS tier
+  FROM documents WHERE text IS NOT NULL
+) WHERE n >= 2
+"""
+
+# the streaming gate's append-mode output == the batch aggregation over
+# watermark-closed windows (single availableNow batch -> no in-batch drops)
+_WINDOWED_EVENTS_SQL = """
+WITH agg AS (
+  SELECT date_trunc('minute', ts) AS ws, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, n, sum_value
+FROM agg
+WHERE ws + INTERVAL 1 MINUTE
+      <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+"""
+
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
@@ -809,6 +893,7 @@ FROM sess GROUP BY user_id, session_id
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_clusters": _EXACT_SQL,
+        "exact_prefix_clusters": _EXACT_PREFIX_SQL,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
         "minhash_lsh_pairs": _JACCARD_PAIRS,
         "near_dup_clusters": _CC_SQL,
@@ -927,4 +1012,5 @@ SELECT count(*)::BIGINT AS n_pairs,
           SELECT id_a AS d FROM jp UNION ALL SELECT id_b FROM jp))::BIGINT AS n_docs_in_pairs
 FROM jp
 """,
+        "windowed_event_counts": _WINDOWED_EVENTS_SQL,
     }

@@ -11,7 +11,7 @@ enumeration counter ids (ref :1932).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duplicate_image_detector_spark.config import PipelineConfig
@@ -23,8 +23,14 @@ def exact_clusters(
     cfg: PipelineConfig,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key_col: Column | None = None,
+    tier: str = "exact",
 ) -> DataFrame:
     """docs -> (doc_id, cluster_id, tier='exact') for duplicated texts.
+
+    ``key_col`` overrides the grouping key (default: sha256 of the full
+    text) — e.g. a prefix hash for coarser "same lead paragraph" grouping;
+    the plan is identical either way.
 
     GroupBy + join-back instead of a ``Window.partitionBy(text_sha256)``
     (and instead of groupBy+collect_list): the partial-aggregating groupBy
@@ -35,9 +41,10 @@ def exact_clusters(
     hashes, so AQE broadcasts it and the join back never shuffles the
     corpus-side rows.
     """
+    key = key_col if key_col is not None else text_sha256_col(F.col(text_col))
     keyed = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
-        text_sha256_col(F.col(text_col)).alias("text_sha256"),
+        key.alias("text_sha256"),
     )
     stats = (
         keyed.groupBy("text_sha256")
@@ -45,7 +52,7 @@ def exact_clusters(
         .where(F.col("_n") >= 2)
     )
     return keyed.join(stats, "text_sha256").select(
-        "doc_id", "cluster_id", F.lit("exact").alias("tier")
+        "doc_id", "cluster_id", F.lit(tier).alias("tier")
     )
 
 
