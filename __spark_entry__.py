@@ -138,7 +138,9 @@ def _ngram_pairs(
         cfg = CFG if thr == CFG.jaccard_threshold else replace(
             CFG, jaccard_threshold=thr
         )
-        df = ngram_jaccard_pairs(_docs(spark, sf_dir), cfg)
+        # df_cap=None: the gate needs bit-parity with the uncapped DuckDB
+        # oracle at ANY scale (the shipped default cap is skew protection)
+        df = ngram_jaccard_pairs(_docs(spark, sf_dir), cfg, df_cap=None)
         _PAIRS_CACHE[key] = df
     return df
 

@@ -65,7 +65,11 @@ def run_default() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # q1: the flagship — full near-dup pipeline at the pinned 16x8 config
+    _clusters_holder: list = []
+
     def flagship() -> None:
+        from pyspark.storagelevel import StorageLevel
+
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         pages = docs.select(
             F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text"
@@ -74,9 +78,38 @@ def run_default() -> None:
             spark, pages, PipelineConfig(), enable_substring=True
         )
         meta["n_docs"] = docs.count()
-        meta["n_clustered"] = res.clusters.count()
+        clusters = res.clusters.persist(StorageLevel.MEMORY_AND_DISK)
+        meta["n_clustered"] = clusters.count()
+        _clusters_holder.append(clusters)
 
     timed("dedup_pipeline", flagship)
+
+    # serving store on the engine's OWN flagship output: snapshot init
+    # (write path) + one group page (read path), timed separately so the
+    # flagship number stays comparable across rounds
+    def store_flow() -> None:
+        import shutil
+        import tempfile
+
+        from duplicate_image_detector_spark.sources.cluster_store import (
+            ClusterStore,
+        )
+
+        clusters = _clusters_holder[0]
+        store_dir = tempfile.mkdtemp(prefix="bench_store_")
+        try:
+            store = ClusterStore(spark, store_dir)
+            store.init(clusters)
+            groups = store.active_groups().limit(1).collect()
+            if groups:
+                meta["store_served_rows"] = len(
+                    store.serve_group(groups[0]["cluster_id"], limit=100).collect()
+                )
+        finally:
+            shutil.rmtree(store_dir, ignore_errors=True)
+            clusters.unpersist()
+
+    timed("cluster_store", store_flow)
     timed("exact_dup_clusters", lambda: E.q_exact_dup_clusters(spark, sf_dir).count())
     timed("minhash_lsh_pairs", lambda: E.q_minhash_lsh_pairs(spark, sf_dir).count())
     timed("near_dup_clusters", lambda: E.q_near_dup_clusters(spark, sf_dir).count())
@@ -138,6 +171,9 @@ def run_skew(n_hot: int = 100000, n_tail: int = 20000) -> None:
     from duplicate_image_detector_spark.config import PipelineConfig
     from duplicate_image_detector_spark.operators.exact import exact_clusters
     from duplicate_image_detector_spark.operators.lsh import lsh_candidate_pairs
+    from duplicate_image_detector_spark.operators.ngram import (
+        ngram_jaccard_pairs,
+    )
     from duplicate_image_detector_spark.operators.signatures import (
         compute_signatures,
     )
@@ -178,6 +214,15 @@ def run_skew(n_hot: int = 100000, n_tail: int = 20000) -> None:
     # pivot cap holds: the mega bucket contributes O(n_hot) pivot pairs,
     # not O(n_hot^2)
     bound = (n_hot - 1) + cfg.max_bucket ** 2
+
+    # ngram with the shipped default df_cap: every hot-doc shingle has
+    # df = n_hot >> cap, so the whole boilerplate universe is dropped —
+    # uncapped this would be ~n_hot^2/2 join rows PER SHINGLE (the exact
+    # tier owns byte-identical docs; ngram owes them nothing)
+    t3 = time.time()
+    n_ngram = ngram_jaccard_pairs(docs, cfg, hash_kind="poly").count()
+    t_ngram = time.time() - t3
+
     print(
         json.dumps(
             {
@@ -187,9 +232,12 @@ def run_skew(n_hot: int = 100000, n_tail: int = 20000) -> None:
                 "n_exact_rows": n_exact,
                 "n_candidates": n_cands,
                 "candidate_bound_ok": n_cands <= bound,
+                "n_ngram_pairs_capped": n_ngram,
                 "t_exact_sec": round(t_exact, 2),
                 "t_signatures_sec": round(t_sig, 2),
                 "t_lsh_sec": round(t_lsh, 2),
+                "t_ngram_capped_sec": round(t_ngram, 2),
+                "ngram_df_cap": cfg.ngram_df_cap,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }
         )
@@ -476,8 +524,50 @@ shuffles), i.e. ~500 TB corpus -> ~60 TB shuffled once.
         fh.write(md)
 
 
+def run_compare(baseline_path: str) -> None:
+    """Regression check: run the default bench, diff per-query against a
+    previous BENCH_rNN.json, print a delta table and alarm on >2x slowdowns
+    (the simhash-style plan-swap regressions, visible at a glance)."""
+    import io
+    from contextlib import redirect_stdout
+
+    with open(baseline_path) as fh:
+        base = json.load(fh)
+    # accept both shapes: bench.py's own JSON line, and the driver's
+    # BENCH_rNN.json wrapper ({"parsed": {...bench line...}, ...})
+    if "queries" not in base and "parsed" in base:
+        base = base["parsed"]
+    base_q = base.get("queries", base)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_default()
+    line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+    cur = json.loads(line)
+    print(line)  # keep the one-JSON-line contract
+
+    alarms = []
+    print(f"\n{'query':<24}{'base(s)':>10}{'now(s)':>10}{'ratio':>8}", file=sys.stderr)
+    for name, now in sorted(cur["queries"].items()):
+        b = base_q.get(name)
+        if b is None or b == 0:
+            print(f"{name:<24}{'--':>10}{now:>10.2f}{'new':>8}", file=sys.stderr)
+            continue
+        ratio = now / b
+        flag = "  <<< ALARM >2x" if ratio > 2.0 else ""
+        print(f"{name:<24}{b:>10.2f}{now:>10.2f}{ratio:>8.2f}{flag}", file=sys.stderr)
+        if ratio > 2.0:
+            alarms.append((name, round(ratio, 2)))
+    if alarms:
+        print(f"REGRESSION ALARMS (>2x): {alarms}", file=sys.stderr)
+        sys.exit(1)
+    print("no >2x regressions", file=sys.stderr)
+
+
 if __name__ == "__main__":
-    if "--scaling-worker" in sys.argv:
+    if "--compare" in sys.argv:
+        run_compare(sys.argv[sys.argv.index("--compare") + 1])
+    elif "--scaling-worker" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         inp = sys.argv[sys.argv.index("--input") + 1]
         run_scaling_worker(cpus, inp)

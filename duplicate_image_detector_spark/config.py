@@ -29,6 +29,10 @@ class PipelineConfig:
     rows_per_band: int = 8        # rows per band (r); b*r must == n_perm
     jaccard_threshold: float = 0.86   # verify threshold (ref sscd_threshold :391)
     max_bucket: int = 2000        # LSH bucket cap; larger buckets use pivot pairing
+    ngram_df_cap: int = 2000      # drop shingles with document frequency > cap
+    #   from the exact-Jaccard universe (a df-B shingle contributes B(B-1)/2
+    #   join rows; >2000-doc shingles are boilerplate with no dedup signal).
+    #   Pass df_cap=None to the operator for uncapped plain-exact semantics.
     # --- SimHash ---
     simhash_bits: int = 60        # 15 hex digits of md5 -> non-negative BIGINT
     simhash_hamming_max: int = 3  # near-exact if Hamming distance <= this

@@ -5,11 +5,21 @@ metadata struct, processed by Arrow-batched ``mapInPandas`` stages — the
 same batch shape as the reference's DataLoader decode workers
 (/root/reference/duplicate-detector.py:927-949, 1050-1057).
 
-The decode kernels themselves are STUBS in this container (no image/audio
-libraries installed): ``decode_media`` raises ``NotImplementedError``
-unless the deterministic fake codec is selected.  Everything Spark-side —
-schema, batching, partitioning, null-tolerance, feature shape — is real
-and tested, so swapping in a real codec is a one-function change.
+Codec resolution (``codec=`` on every stage):
+  * ``'auto'``  — capability probe at stage-build time: uses Pillow when
+    importable on the workers, else the loud stub.  The same wheel is
+    production-real wherever the image libraries exist.
+  * ``'pil'``   — real Pillow decode/resize/feature paths (image stages).
+  * ``'fake'``  — deterministic test codec (below); no libraries needed.
+  * ``'stub'``  — raises ``NotImplementedError`` at execution time on
+    every partition (hoisted above null-skips, so it cannot silently
+    yield empty output).  The default in this container, which has no
+    image/audio libraries installed.
+Frame sampling is a video stage: its real slot is ffmpeg/cv2 keyframe
+extraction; ``'auto'`` resolves to cv2 when importable, else stub.
+
+Everything Spark-side — schema, batching, partitioning, null-tolerance,
+feature shape — is identical across codecs and tested with 'fake'.
 
 Fake codec format (used by tests):
     b"FAKE" + width:4 bytes BE + height:4 bytes BE + payload
@@ -46,21 +56,49 @@ def py_decode_fake(data: bytes) -> tuple[int, int, bytes]:
     return w, h, data[12:]
 
 
-def _media_stage(media_df, cols, codec, stage_name, batch_fn, schema):
+def has_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _resolve_codec(codec: str, video: bool = False) -> str:
+    """'auto' -> the best codec importable HERE (driver side — local mode
+    shares the env with workers; on a real cluster ship the probe result
+    via the stage arg, or rely on identical images).  Unknown names pass
+    through to the stage's own dispatch, which raises for them."""
+    if codec != "auto":
+        return codec
+    if video:
+        try:
+            import cv2  # noqa: F401
+
+            return "cv2"
+        except ImportError:
+            return "stub"
+    return "pil" if has_pil() else "stub"
+
+
+def _media_stage(media_df, cols, codec, stage_name, batch_fn, schema,
+                 supported=("fake",)):
     """Shared mapInPandas wrapper for every media stage.
 
-    One place for the batch shape and — critically — the stub gate: it is
-    HOISTED above any per-row null-skip, so the default ``codec='stub'``
-    fails loudly on every partition (even empty or all-null-media ones)
-    instead of silently yielding an empty result.  ``batch_fn(pdf)``
-    returns one pandas frame per Arrow batch.
+    One place for the batch shape and — critically — the codec gate: a
+    codec the stage cannot actually run (``'stub'``, or a real codec whose
+    library is missing) fails loudly on every partition, HOISTED above any
+    per-row null-skip, so it can never silently yield an empty result.
+    ``batch_fn(pdf)`` returns one pandas frame per Arrow batch.
     """
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        if codec == "stub":
+        if codec not in supported:
             raise NotImplementedError(
-                f"real {stage_name} not available in this environment; "
-                "use codec='fake' or plug a codec in"
+                f"codec {codec!r} is not available for {stage_name} in "
+                f"this environment (supported here: {list(supported)}); "
+                "use codec='fake' for tests or install the real library"
             )
         for pdf in batches:
             yield batch_fn(pdf)
@@ -71,10 +109,23 @@ def _media_stage(media_df, cols, codec, stage_name, batch_fn, schema):
 def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
     """(url, media binary, media_type) -> typed metadata rows.
 
-    ``codec='fake'`` uses the deterministic test codec; ``codec='stub'``
-    raises NotImplementedError at execution time (the production slot for
-    PIL/opencv/ffmpeg).  Corrupt rows yield valid=false, never fail the
-    job (M6 tolerance, ref :948-949)."""
+    ``codec='auto'`` probes for Pillow and uses it when present;
+    ``codec='pil'`` forces the real image decode; ``codec='fake'`` uses
+    the deterministic test codec; ``codec='stub'`` raises
+    NotImplementedError at execution time.  Corrupt rows yield
+    valid=false, never fail the job (M6 tolerance, ref :948-949)."""
+    codec = _resolve_codec(codec)
+
+    def dims(raw: bytes) -> tuple[int, int]:
+        if codec == "pil":
+            import io as _io
+
+            from PIL import Image
+
+            with Image.open(_io.BytesIO(raw)) as im:
+                return im.width, im.height
+        w, h, _ = py_decode_fake(raw)
+        return w, h
 
     def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
@@ -87,7 +138,7 @@ def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
             out["n_bytes"].append(len(raw))
             out["sha256"].append(hashlib.sha256(raw).hexdigest())
             try:
-                w, h, _ = py_decode_fake(raw)
+                w, h = dims(raw)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["valid"].append(True)
@@ -114,6 +165,7 @@ def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
         "media decode",
         batch,
         MEDIA_META_SCHEMA,
+        supported=("fake", "pil") if has_pil() else ("fake",),
     )
 
 
@@ -130,9 +182,28 @@ def resize_media(
 ) -> DataFrame:
     """(url, media binary) -> (url, media binary, width, height) with
     max(width, height) <= max_side — the reference's pre-model resize
-    (ref :850-925) as an Arrow-batched stage.  The fake codec scales the
-    header dims and truncates the payload proportionally (deterministic);
-    the production slot is PIL/opencv.  Corrupt rows are dropped (M6)."""
+    (ref :850-925) as an Arrow-batched stage.  ``'pil'`` does a real
+    thumbnail + PNG re-encode; the fake codec scales the header dims and
+    truncates the payload proportionally (deterministic).  Corrupt rows
+    are dropped (M6)."""
+    codec = _resolve_codec(codec)
+
+    def one(raw: bytes) -> tuple[bytes, int, int]:
+        if codec == "pil":
+            import io as _io
+
+            from PIL import Image
+
+            with Image.open(_io.BytesIO(raw)) as im:
+                im.thumbnail((max_side, max_side))
+                buf = _io.BytesIO()
+                im.save(buf, format="PNG")
+                return buf.getvalue(), im.width, im.height
+        w, h, payload = py_decode_fake(raw)
+        scale = min(1.0, max_side / max(w, h, 1))
+        nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+        keep = max(int(len(payload) * scale * scale), 0)
+        return py_encode_fake(nw, nh, payload[:keep]), nw, nh
 
     def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
@@ -142,14 +213,11 @@ def resize_media(
             if blob is None:
                 continue
             try:
-                w, h, payload = py_decode_fake(bytes(blob))
+                out, nw, nh = one(bytes(blob))
             except Exception:
                 continue
-            scale = min(1.0, max_side / max(w, h, 1))
-            nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-            keep = max(int(len(payload) * scale * scale), 0)
             urls.append(url)
-            blobs.append(py_encode_fake(nw, nh, payload[:keep]))
+            blobs.append(out)
             ws.append(nw)
             hs.append(nh)
         return pd.DataFrame(
@@ -162,7 +230,9 @@ def resize_media(
         )
 
     return _media_stage(
-        media_df, ("url", "media"), codec, "media resize", batch, RESIZED_SCHEMA
+        media_df, ("url", "media"), codec, "media resize", batch,
+        RESIZED_SCHEMA,
+        supported=("fake", "pil") if has_pil() else ("fake",),
     )
 
 
@@ -176,8 +246,9 @@ def sample_frames(
     """(url, media binary) -> one row per sampled frame (url, frame_idx,
     frame binary) — the video frame-sampling stage.  The fake codec treats
     the payload as consecutive ``frame_bytes`` chunks and keeps every
-    ``every_n``-th up to ``max_frames``; the production slot is ffmpeg
-    keyframe extraction.  Output explodes rows, so the stage runs BEFORE
+    ``every_n``-th up to ``max_frames``; the production slot is ffmpeg/cv2
+    keyframe extraction (the one stage with no real codec here — Pillow is
+    image-only).  Output explodes rows, so the stage runs BEFORE
     any shuffle of the (large) media column — downstream operators see
     only the (small) sampled frames."""
 
@@ -217,10 +288,31 @@ def sample_frames(
 def extract_media_features(media_df: DataFrame, codec: str = "stub") -> DataFrame:
     """(url, media binary) -> (url, feature array<float>[FEATURE_DIM]).
 
-    The fake feature is an md5-seeded unit vector — deterministic, so
-    downstream similarity operators (cosine_topk / ann_lsh_topk) are
-    exercisable end-to-end without a model.  The production slot is a
-    batched model forward (ref :1024-1098)."""
+    ``'pil'`` computes a real perceptual feature: the 8x8 grayscale
+    thumbnail flattened to a 64-d L2-normalized vector (the same signal
+    family as the reference's pHash pre-stage; the production slot is a
+    batched model forward, ref :1024-1098).  The fake feature is an
+    md5-seeded unit vector — deterministic, so downstream similarity
+    operators (cosine_topk / ann_lsh_topk) are exercisable end-to-end
+    without a model."""
+    codec = _resolve_codec(codec)
+
+    def feat(raw: bytes) -> np.ndarray:
+        if codec == "pil":
+            import io as _io
+
+            from PIL import Image
+
+            with Image.open(_io.BytesIO(raw)) as im:
+                px = np.asarray(
+                    im.convert("L").resize((8, 8)), dtype=np.float64
+                ).ravel()
+            n = np.linalg.norm(px)
+            return (px / n if n > 0 else px).astype(np.float32)
+        seed = int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(FEATURE_DIM)
+        return (v / np.linalg.norm(v)).astype(np.float32)
 
     def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
@@ -228,10 +320,10 @@ def extract_media_features(media_df: DataFrame, codec: str = "stub") -> DataFram
         urls, feats = [], []
         for url, blob in zip(pdf["url"], pdf["media"]):
             raw = bytes(blob) if blob is not None else b""
-            seed = int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
-            rng = np.random.default_rng(seed)
-            v = rng.standard_normal(FEATURE_DIM)
-            v = (v / np.linalg.norm(v)).astype(np.float32)
+            try:
+                v = feat(raw)
+            except Exception:
+                continue  # corrupt image under 'pil': dropped (M6)
             urls.append(url)
             feats.append(v.tolist())
         return pd.DataFrame({"url": urls, "feature": feats})
@@ -243,4 +335,5 @@ def extract_media_features(media_df: DataFrame, codec: str = "stub") -> DataFram
         "feature extraction",
         batch,
         FEATURE_SCHEMA,
+        supported=("fake", "pil") if has_pil() else ("fake",),
     )

@@ -16,12 +16,14 @@ as a small-scale test oracle.
 Skew: a boilerplate shingle shared by B documents contributes B(B-1)/2 join
 rows.  Singleton shingles (df=1, the long tail of webtext) are pruned with
 the same partial-agg groupBy + join-back shape as the LSH bucket cap; for
-the heavy head, ``df_cap`` optionally DROPS shingles with document
-frequency > cap from the universe — per-doc set sizes are then recomputed
-post-filter so the output is the exact Jaccard over the capped universe
-(ultra-common shingles carry no dedup signal; this is the standard
-suffix-filtering trade, cf. PPJoin/Vernica et al. SIGMOD'10).  The default
-``df_cap=None`` keeps plain exact semantics (and oracle bit-parity).
+the heavy head, ``df_cap`` DROPS shingles with document frequency > cap
+from the universe — per-doc set sizes are then recomputed post-filter so
+the output is the exact Jaccard over the capped universe (ultra-common
+shingles carry no dedup signal; this is the standard suffix-filtering
+trade, cf. PPJoin/Vernica et al. SIGMOD'10).  The cap is ON by default
+(``cfg.ngram_df_cap``): an as-shipped call on skewed webtext must not
+have a quadratic worst case.  Pass ``df_cap=None`` explicitly for plain
+exact semantics over the full universe (the oracle-bit-parity mode).
 """
 
 from __future__ import annotations
@@ -103,10 +105,13 @@ def exploded_shingles(
     return src.mapInArrow(gen, schema=EXPLODED_SCHEMA)
 
 
+_USE_CONFIG_CAP = "config"
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     cfg: PipelineConfig,
-    df_cap: int | None = None,
+    df_cap: int | None | str = _USE_CONFIG_CAP,
     hash_kind: str = "md5",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -115,10 +120,14 @@ def ngram_jaccard_pairs(
     cfg.jaccard_threshold, id_a < id_b.
 
     ``jaccard`` is integer-derived (ni / (na + nb - ni)) — bit-exact across
-    engines with no rounding.  See module docstring for the df_cap
-    semantics.
+    engines with no rounding.  ``df_cap`` defaults to ``cfg.ngram_df_cap``
+    (skew protection ON as shipped); pass ``None`` explicitly for the
+    uncapped full-universe semantics.  See module docstring.
     """
     from pyspark.storagelevel import StorageLevel
+
+    if df_cap == _USE_CONFIG_CAP:
+        df_cap = cfg.ngram_df_cap
 
     # the exploded index is the product of the Python tokenize+hash pass —
     # persist it eagerly, since it feeds the df stats, BOTH self-join
@@ -130,25 +139,29 @@ def ngram_jaccard_pairs(
     ex.count()
 
     # shingle document-frequency stats: partial-agg groupBy (skew-safe),
-    # then join back.  df=1 shingles never intersect -> pruned here.
+    # computed ONCE — the >=2 intersection prune and (with df_cap) the
+    # capped-universe size recompute both derive from this table.
+    # df=1 shingles never intersect; df>cap shingles leave the universe.
     hi = df_cap if df_cap is not None else (1 << 62)
-    df_stats = (
+    stats = (
         ex.groupBy("h")
         .agg(F.count("*").alias("_df"))
-        .where((F.col("_df") >= 2) & (F.col("_df") <= hi))
-        .select("h")
+        .where(F.col("_df") <= hi)
     )
-    multi = ex.join(df_stats, "h").persist(StorageLevel.MEMORY_AND_DISK)
+    if df_cap is not None:
+        # read twice below -> persist the (small) per-shingle stats table
+        stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+        stats.count()
+    multi = ex.join(
+        stats.where(F.col("_df") >= 2).select("h"), "h"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     multi.count()  # eager: both self-join sides read the cache
 
     if df_cap is not None:
         # capped universe: per-doc sizes recomputed over surviving shingles
         # (df=1 shingles must still count -> recompute from ex, filtered by
         # df <= cap only)
-        capped = ex.join(
-            ex.groupBy("h").agg(F.count("*").alias("_df")).where(F.col("_df") <= hi).select("h"),
-            "h",
-        )
+        capped = ex.join(stats.select("h"), "h")
         sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
         left = multi.select("h", F.col("doc_id").alias("id_a"))
         right = multi.select("h", F.col("doc_id").alias("id_b"))
@@ -185,5 +198,7 @@ def ngram_jaccard_pairs(
     )
     out.count()
     multi.unpersist()
+    if df_cap is not None:
+        stats.unpersist()
     ex.unpersist()
     return out

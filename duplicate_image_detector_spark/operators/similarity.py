@@ -154,7 +154,10 @@ def cosine_topk(
     sc = emb.sparkSession.sparkContext
     base = emb.select(id_col, vec_col)
     n = base.count()
-    n_blocks = max(1, -(-n // block_rows))
+    # hash blocks are statistical (xxhash64(id) % n_blocks): a block can
+    # exceed n/n_blocks, so size to ~0.8*block_rows as a safety factor —
+    # the memory bound is then a high-probability bound, not expectation
+    n_blocks = max(1, -(-n // max(1, int(block_rows * 0.8))))
 
     if n_blocks == 1:
         b_ids, b_mat, b_norms = (
@@ -189,11 +192,18 @@ def cosine_topk(
     for p in partials[1:]:
         merged = merged.union(p)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    out = (
         merged.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos", "rank")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize the merged top-k, then release the per-block partials —
+    # without this the partial caches accumulate for the session lifetime
+    out.count()
+    for p in partials:
+        p.unpersist()
+    return out
 
 
 def _cosine_topk_sql(
@@ -245,7 +255,8 @@ def cosine_dup_pairs(
     sc = emb.sparkSession.sparkContext
     base = emb.select(id_col, vec_col)
     n = base.count()
-    n_blocks = max(1, -(-n // block_rows))
+    # 0.8 safety factor: hash blocks are statistical, see cosine_topk
+    n_blocks = max(1, -(-n // max(1, int(block_rows * 0.8))))
     block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
 
     from pyspark.storagelevel import StorageLevel
@@ -296,6 +307,11 @@ def cosine_dup_pairs(
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
+    if n_blocks > 1:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # materialize, then release the per-block partials
+        for p in parts:
+            p.unpersist()
     return out
 
 
@@ -466,50 +482,60 @@ def ann_ivf_topk(
     sc = emb.sparkSession.sparkContext
     b_cent = sc.broadcast(centroids)
 
-    def assign_gen(probe: int):
-        def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            import pandas as pd
+    probe = min(n_probe, nc)
 
-            cent = b_cent.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                ids = pdf[id_col].to_numpy(dtype=np.int64)
-                q = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                q = q / np.maximum(
-                    np.linalg.norm(q, axis=1, keepdims=True), 1e-12
-                )
-                sims = q @ cent.T
-                top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(ids, probe),
-                        "centroid": top.ravel().astype(np.int32),
-                    }
-                )
+    def assign_gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
-        return gen
+        cent = b_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            q = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+            )
+            sims = q @ cent.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, probe),
+                    "centroid": top.ravel().astype(np.int32),
+                    "cent_rank": np.tile(
+                        np.arange(1, probe + 1, dtype=np.int32), len(ids)
+                    ),
+                }
+            )
 
-    schema = "vec_id bigint, centroid int"
+    from pyspark.storagelevel import StorageLevel
+
     base = emb.select(id_col, vec_col)
-    cells = base.mapInPandas(assign_gen(1), schema=schema)
-    probes = base.mapInPandas(assign_gen(min(n_probe, nc)), schema=schema)
+    # ONE assignment pass: rank-1 row = the vector's home cell, all rows =
+    # its probe set (the old two-pass variant ran the full-corpus Python
+    # projection twice).  Persist so cells and probes read the same pass.
+    assigned = base.mapInPandas(
+        assign_gen, schema="vec_id bigint, centroid int, cent_rank int"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    cells = assigned.where(F.col("cent_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "centroid"
+    )
+    probes = assigned.select("vec_id", "centroid")
     # no dropDuplicates: each corpus vector lives in exactly ONE cell and a
     # query's probed centroids are distinct, so a (query, neighbor) pair
     # can match on at most one centroid — dedup here would be a pure
     # wasted shuffle over the operator's largest intermediate
     cands = (
-        probes.join(
-            cells.select(
-                F.col("vec_id").alias("neighbor_id"), "centroid"
-            ),
-            "centroid",
-        )
+        probes.join(cells, "centroid")
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cands.count()
+    assigned.unpersist()
     return _rerank_topk(cands, emb, k, id_col, vec_col, round_digits)
 
 
@@ -523,31 +549,51 @@ def _rerank_topk(
 ) -> DataFrame:
     """Exact-cosine re-rank of candidate (vec_id, neighbor_id) pairs to
     per-query top-k — shared by every ANN method (candidates differ, the
-    verify stage does not)."""
+    verify stage does not).
+
+    The dot products run as ONE NumPy batch op per Arrow batch
+    (``mapInPandas``), not as interpreted ``aggregate(zip_with(...))``
+    column expressions: Spark does not codegen higher-order-function
+    lambdas, and at n·k candidates × 1024-d vectors the interpreted eval
+    (~100 ns/element, measured >50x slower than NumPy in the signature
+    stage) would make re-rank the ANN bottleneck.  Rounding matches
+    ``_block_topk_gen`` (sign-aware HALF_UP) so every cosine path in this
+    module agrees bit-for-bit."""
+    scale = 10.0 ** round_digits
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("_n", _norm(F.col("_v")))
-    a = vecs.select(
-        F.col("_id").alias("vec_id"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
     )
-    b = vecs.select(
-        F.col("_id").alias("neighbor_id"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    scored = (
+    a = vecs.select(F.col("_id").alias("vec_id"), F.col("_v").alias("_va"))
+    b = vecs.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_vb"))
+    joined = (
         cands.join(a, "vec_id")
         .join(b, "neighbor_id")
-        .select(
-            "vec_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb")),
-                round_digits,
-            ).alias("cos"),
-        )
+        .select("vec_id", "neighbor_id", "_va", "_vb")
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
+            vb = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
+            cos = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            cos = np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "cos": cos,
+                }
+            )
+
+    scored = joined.mapInPandas(
+        gen, schema="vec_id bigint, neighbor_id bigint, cos double"
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -83,12 +83,26 @@ class ClusterStore:
         df = self.spark.read.parquet(self._version_dir(v))
         return df if include_deleted else df.where(F.col("status") == "active")
 
+    def _append_audit(self, audit: DataFrame) -> None:
+        """Append-only deletion-log write (separate method so tests can
+        inject a crash between the snapshot commit and the audit append)."""
+        audit.write.mode("append").parquet(
+            os.path.join(self.path, "_deletion_log")
+        )
+
     def soft_delete(self, doc_ids: list[int]) -> dict:
         """Mark the given docs deleted; append audit rows for genuine
         transitions; return {'deleted_count', 'complete_groups'}.
 
         Idempotent: re-deleting already-deleted docs changes nothing and
         logs nothing (ref's successfully_deleted filter, :2518-2524).
+
+        Crash ordering: the snapshot commits FIRST, the audit appends
+        SECOND — a failure in between can only UNDERCOUNT the audit log
+        (a delete that took effect but was not logged), never record a
+        deletion that did not happen.  The transitioned set is
+        materialized once and reused for the count, the commit predicate,
+        and the audit write (single evaluation).
         """
         cur = self.read(include_deleted=True)
         # set semantics: duplicate ids in the request must not multiply
@@ -109,19 +123,20 @@ class ClusterStore:
             .agg(F.count("*").alias("_n_before"))
         )
 
+        from pyspark.storagelevel import StorageLevel
+
         transitioned = joined.where(
             (F.col("status") == "active") & F.col("_del").isNotNull()
         )
         audit_cols = [
             c for c in ("url", "doc_id", "cluster_id") if c in cur.columns
         ]
-        audit = transitioned.select(*audit_cols).withColumn(
-            "ts", F.lit(time.time())
+        audit = (
+            transitioned.select(*audit_cols)
+            .withColumn("ts", F.lit(time.time()))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        audit.write.mode("append").parquet(
-            os.path.join(self.path, "_deletion_log")
-        )
-        deleted_count = audit.count()
+        deleted_count = audit.count()  # materialized ONCE, reused below
 
         new = joined.withColumn(
             "status",
@@ -130,6 +145,8 @@ class ClusterStore:
             ),
         ).drop("_del")
         self._commit(new)
+        self._append_audit(audit)  # after the commit, never before
+        audit.unpersist()
 
         # group-active recompute (ref :2526-2537): a group is newly
         # complete iff it served BEFORE this call (>= MIN active) and now

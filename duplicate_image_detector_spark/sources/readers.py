@@ -67,7 +67,17 @@ def read_pages(
         raw = spark.read.option("header", "true").csv(path)
         # name matching must be case-insensitive (Spark's own resolver is):
         # an uppercase-header export would otherwise normalize to all nulls
-        raw = raw.toDF(*[c.lower() for c in raw.columns])
+        lowered = [c.lower() for c in raw.columns]
+        dupes = sorted({c for c in lowered if lowered.count(c) > 1})
+        if dupes:
+            # e.g. 'URL' and 'url' in one export: every later F.col would
+            # be ambiguous — fail here with the actual colliding names
+            # instead of a downstream AnalysisException
+            raise ValueError(
+                f"duplicate CSV header(s) after case-folding: {dupes} "
+                f"(original headers: {raw.columns})"
+            )
+        raw = raw.toDF(*lowered)
         if "html_b64" in raw.columns:
             raw = raw.withColumn(
                 "html", F.try_to_binary(F.col("html_b64"), F.lit("base64"))

@@ -83,6 +83,33 @@ def test_snapshot_isolation(spark, tmp_path):
     assert MIN_GROUP_SIZE == 2
 
 
+def test_crash_between_commit_and_audit_leaves_no_orphan_rows(spark, tmp_path):
+    """Snapshot commits BEFORE the audit append: a crash in between yields
+    a store whose deletions took effect with (at worst) missing audit rows
+    — never audit rows for deletions that did not happen.  A retry is a
+    no-op (idempotence) and appends nothing."""
+    import pytest
+
+    store = _seed(spark, tmp_path)
+
+    def boom(audit):
+        raise RuntimeError("injected crash after commit, before audit")
+
+    store._append_audit = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.soft_delete([11])
+    # the delete DID take effect (commit happened first) ...
+    assert store.read().count() == 4
+    assert store.read(include_deleted=True).where("status='deleted'").count() == 1
+    # ... and the audit log has NO orphan rows (it does not even exist yet)
+    with pytest.raises(Exception):
+        store.deletion_log().count()
+    # retry after recovery: already-deleted -> no transition, no audit row
+    del store._append_audit  # restore the real method
+    res = store.soft_delete([11])
+    assert res["deleted_count"] == 0
+
+
 def test_soft_delete_drop_to_zero_and_dup_ids(spark, tmp_path):
     store = _seed(spark, tmp_path)
     # duplicate ids in one request are set-semantics: no row multiplication

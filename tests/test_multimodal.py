@@ -114,3 +114,67 @@ def test_stub_raises_even_on_null_media(spark):
         with pytest.raises(Exception) as exc:
             op(df).collect()
         assert "not available" in str(exc.value)
+
+
+# ---------------------------------------------------------------------------
+# codec capability probe ('auto' / 'pil')
+# ---------------------------------------------------------------------------
+
+def test_auto_codec_resolution():
+    from duplicate_image_detector_spark.functions.multimodal import (
+        _resolve_codec,
+        has_pil,
+    )
+
+    resolved = _resolve_codec("auto")
+    assert resolved == ("pil" if has_pil() else "stub")
+    assert _resolve_codec("fake") == "fake"  # explicit codecs pass through
+
+
+def test_auto_without_pil_fails_loudly(spark, media_df):
+    from duplicate_image_detector_spark.functions.multimodal import has_pil
+
+    if has_pil():
+        pytest.skip("PIL installed: 'auto' resolves to the real codec")
+    with pytest.raises(Exception) as exc:
+        decode_media(media_df, codec="auto").collect()
+    assert "NotImplementedError" in str(exc.value) or "not available" in str(
+        exc.value
+    )
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "duplicate_image_detector_spark.functions.multimodal",
+        fromlist=["has_pil"],
+    ).has_pil(),
+    reason="Pillow not installed in this container",
+)
+def test_pil_real_jpeg_path(spark):
+    """Real-codec integration: a genuine image decodes, resizes, and
+    features through the same Spark plumbing as the fake codec."""
+    import io
+
+    from PIL import Image
+
+    from duplicate_image_detector_spark.functions.multimodal import (
+        resize_media,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (320, 200), color=(200, 30, 30)).save(buf, format="JPEG")
+    rows = [("real1", bytearray(buf.getvalue()), "image"),
+            ("bad", bytearray(b"NOTJPEG"), "image")]
+    df = spark.createDataFrame(rows, "url string, media binary, media_type string")
+
+    meta = {r["url"]: r for r in decode_media(df, codec="auto").collect()}
+    assert meta["real1"]["width"] == 320 and meta["real1"]["height"] == 200
+    assert meta["real1"]["valid"] is True
+    assert meta["bad"]["valid"] is False
+
+    resized = {r["url"]: r for r in resize_media(df, max_side=100, codec="auto").collect()}
+    assert max(resized["real1"]["width"], resized["real1"]["height"]) <= 100
+    assert "bad" not in resized  # corrupt rows dropped (M6)
+
+    feats = extract_media_features(df, codec="auto").collect()
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)

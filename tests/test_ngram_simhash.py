@@ -82,6 +82,28 @@ def test_ngram_df_cap_drops_hot_shingles(spark, cfg):
     assert capped == 0
 
 
+def test_ngram_default_cap_bounds_mega_shingle(spark):
+    # one boilerplate shingle shared by ALL 2500 docs (df=2500 > the
+    # shipped cap): uncapped it alone would contribute C(2500,2) ≈ 3.1M
+    # join rows; with the as-shipped default (cfg.ngram_df_cap) it leaves
+    # the universe entirely.  Two byte-identical docs must STILL pair at
+    # jaccard == 1.0 over the capped universe (their df=2 tail shingles
+    # survive) — the capped-size recompute is exact, not approximate.
+    boiler = "alpha bravo charlie delta echo"  # exactly k=5 words
+    rows = [
+        (i, boiler + " " + " ".join(f"t{i}w{j}" for j in range(8)))
+        for i in range(2499)
+    ]
+    rows.append((9999, rows[0][1]))  # byte-identical twin of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    c = PipelineConfig(min_text_len=10, jaccard_threshold=0.5, ngram_df_cap=100)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, c).collect()
+    }
+    assert got == {(0, 9999): 1.0}
+
+
 def test_simhash_pigeonhole_matches_brute_force(spark, tiny_pages_df, cfg):
     docs = _docs_of(spark, tiny_pages_df)
     sig = compute_signatures(docs, cfg).select("doc_id", "simhash")
