@@ -40,6 +40,12 @@ class PipelineConfig:
     substring_min_len: int = 400  # min shared span length L (chars)
     substring_gram: int = 64      # rolling-hash gram size k
     substring_mod: int = 32       # content-defined sampling density (keep ~1/mod)
+    # --- identity ---
+    id_bits: int = 64             # doc_id width: 64 = xxhash64(url) BIGINT;
+    #   128 = struct(xxhash64(url), xxhash64(reverse(url))) — expected
+    #   collisions drop from ~27 at 10^12 docs (n^2/2^65) to ~0 (n^2/2^129);
+    #   every pair/CC/cluster stage is id-type-agnostic, so the plan shape
+    #   is identical, only the key width changes
     # --- determinism ---
     seed: int = 42
     hash_prime: int = 2147483647  # 2^31 - 1 (Mersenne); (a*h32+b) % p fits int64
@@ -52,6 +58,8 @@ class PipelineConfig:
             )
         if self.substring_gram >= self.substring_min_len:
             raise ValueError("substring_gram must be < substring_min_len")
+        if self.id_bits not in (64, 128):
+            raise ValueError(f"id_bits must be 64 or 128, got {self.id_bits}")
 
     def config_hash(self) -> str:
         """Stable 16-hex-char key over all semantics-affecting fields.

@@ -60,10 +60,14 @@ def assemble_clusters(
         .agg(
             F.avg("score").alias("score"),
             F.max(_tier_priority_col(F.col("tier"))).alias("_tp"),
-            # strongest incident edge; -other breaks score ties toward the
-            # smaller partner id (deterministic under any partitioning)
-            F.max_by(
-                "_other", F.struct(F.col("score"), (-F.col("_other")))
+            # strongest incident edge; ties broken toward the smaller
+            # partner id (deterministic under any partitioning).  min_by
+            # over (-score, other) rather than max_by over (score, -other):
+            # identical ordering, but it never negates the id column, so it
+            # works for struct ids too (cfg.id_bits=128)
+            F.min_by(
+                "_other",
+                F.struct((-F.col("score")).alias("s"), F.col("_other").alias("o")),
             ).alias("best_match_id"),
             F.max("score").alias("best_score"),
         )

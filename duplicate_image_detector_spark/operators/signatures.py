@@ -60,15 +60,22 @@ from duplicate_image_detector_spark.functions.text import (
 if TYPE_CHECKING:
     import pandas as pd
 
+# {id} is the doc_id DDL — 'bigint' (id_bits=64) or the 128-bit struct;
+# the kernels pass the id column through untouched, so the schema follows
+# the input
 SIGNATURE_SCHEMA_FULL = (
-    "doc_id bigint, text_sha256 string, n_tokens int, n_shingles int, "
+    "doc_id {id}, text_sha256 string, n_tokens int, n_shingles int, "
     "shingle_hashes array<bigint>, minhash array<int>, simhash bigint"
 )
 SIGNATURE_SCHEMA_SLIM = (
-    "doc_id bigint, text_sha256 string, n_tokens int, n_shingles int, "
+    "doc_id {id}, text_sha256 string, n_tokens int, n_shingles int, "
     "minhash array<int>, simhash bigint"
 )
-SHINGLE_SETS_SCHEMA = "doc_id bigint, shingle_hashes array<bigint>"
+SHINGLE_SETS_SCHEMA = "doc_id {id}, shingle_hashes array<bigint>"
+
+
+def _id_ddl(df: DataFrame, col: str = "doc_id") -> str:
+    return df.schema[col].dataType.simpleString()
 
 _U32 = np.int64(0xFFFFFFFF)
 _POLY_B = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio base, mod-2^64 wrap
@@ -149,6 +156,10 @@ def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str)
     offsets), never per-element Python lists: at 32 concurrent workers the
     PyObject churn of ``.tolist()`` rows dominated memory bandwidth and
     collapsed multi-core scaling.
+
+    id-type-agnostic: kept rows are tracked by INDEX and the doc_id column
+    is passed through with Arrow ``take`` — the same kernel serves the
+    64-bit BIGINT key and the 128-bit struct key (cfg.id_bits).
     """
     import pyarrow as pa
 
@@ -161,29 +172,20 @@ def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str)
     bit_idx = np.arange(cfg.simhash_bits, dtype=np.int64)
     bit_w = (np.int64(1) << bit_idx)
 
-    fields = [
-        pa.field("doc_id", pa.int64()),
-        pa.field("text_sha256", pa.string()),
-        pa.field("n_tokens", pa.int32()),
-        pa.field("n_shingles", pa.int32()),
-    ]
+    names = ["doc_id", "text_sha256", "n_tokens", "n_shingles"]
     if include_shingles:
-        fields.append(pa.field("shingle_hashes", pa.list_(pa.int64())))
-    fields += [
-        pa.field("minhash", pa.list_(pa.int32())),
-        pa.field("simhash", pa.int64()),
-    ]
-    schema = pa.schema(fields)
+        names.append("shingle_hashes")
+    names += ["minhash", "simhash"]
 
     def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         hasher = _ShingleHasher(hash_kind, k)
         for batch in batches:
-            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             texts = batch.column("text").to_pylist()
-            ids, shas, ntok, nsh, sh64 = [], [], [], [], []
+            kept: list[int] = []
+            shas, ntok, nsh, sh64 = [], [], [], []
             hs_chunks: list[np.ndarray] = []
             mh_rows: list[np.ndarray] = []
-            for doc_id, text in zip(doc_ids, texts):
+            for i, text in enumerate(texts):
                 if text is None or len(text) < min_len:
                     continue
                 words = py_tokenize(text)
@@ -194,7 +196,7 @@ def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str)
                 mh = ((a_col * h32[None, :] + b_col) % prime).min(axis=1)
                 bits = (hs[:, None] >> bit_idx[None, :]) & np.int64(1)
                 sums = (2 * bits - 1).sum(axis=0)
-                ids.append(int(doc_id))
+                kept.append(i)
                 shas.append(hashlib.sha256(text.encode()).hexdigest())
                 ntok.append(len(words))
                 nsh.append(len(hs))
@@ -202,9 +204,9 @@ def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str)
                     hs_chunks.append(hs)
                 mh_rows.append(mh.astype(np.int32))
                 sh64.append(int(bit_w[sums > 0].sum()))
-            n = len(ids)
+            n = len(kept)
             cols = [
-                pa.array(np.asarray(ids, dtype=np.int64)),
+                batch.column("doc_id").take(pa.array(kept, type=pa.int32())),
                 pa.array(shas, type=pa.string()),
                 pa.array(np.asarray(ntok, dtype=np.int32)),
                 pa.array(np.asarray(nsh, dtype=np.int32)),
@@ -223,7 +225,7 @@ def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str)
             )
             cols.append(_list_array(mh_flat, [len(perms)] * n, pa.int32()))
             cols.append(pa.array(np.asarray(sh64, dtype=np.int64)))
-            yield pa.RecordBatch.from_arrays(cols, schema=schema)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return gen
 
@@ -248,27 +250,21 @@ def shingle_sets_for(
     import pyarrow as pa
 
     k = cfg.shingle_k
-    schema = pa.schema(
-        [
-            pa.field("doc_id", pa.int64()),
-            pa.field("shingle_hashes", pa.list_(pa.int64())),
-        ]
-    )
 
     def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         hasher = _ShingleHasher(hash_kind, k)
         for batch in batches:
-            doc_ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
             texts = batch.column("text").to_pylist()
-            ids, lens = [], []
+            kept: list[int] = []
+            lens: list[int] = []
             chunks: list[np.ndarray] = []
-            for doc_id, text in zip(doc_ids_np, texts):
+            for i, text in enumerate(texts):
                 if text is None:
                     continue
                 hs = hasher.doc_hashes(py_tokenize(text))
                 if hs is None or len(hs) == 0:
                     continue
-                ids.append(int(doc_id))
+                kept.append(i)
                 lens.append(len(hs))
                 chunks.append(hs)
             flat = (
@@ -276,10 +272,10 @@ def shingle_sets_for(
             )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.asarray(ids, dtype=np.int64)),
+                    batch.column("doc_id").take(pa.array(kept, type=pa.int32())),
                     _list_array(flat, lens, pa.int64()),
                 ],
-                schema=schema,
+                names=["doc_id", "shingle_hashes"],
             )
 
     # candidate-id set is orders of magnitude smaller than the corpus:
@@ -290,7 +286,7 @@ def shingle_sets_for(
     src = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).join(ids, "doc_id", "left_semi")
-    return src.mapInArrow(gen, schema=SHINGLE_SETS_SCHEMA)
+    return src.mapInArrow(gen, schema=SHINGLE_SETS_SCHEMA.format(id=_id_ddl(src)))
 
 
 def compute_signatures(
@@ -322,7 +318,7 @@ def compute_signatures(
         ).where(F.col("text").isNotNull())
         schema = (
             SIGNATURE_SCHEMA_FULL if include_shingles else SIGNATURE_SCHEMA_SLIM
-        )
+        ).format(id=_id_ddl(src))
         return src.mapInArrow(
             _signatures_gen(cfg, include_shingles, hash_kind), schema=schema
         )

@@ -69,30 +69,35 @@ def fingerprint_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """docs -> (doc_id, fp BIGINT), distinct per doc."""
+    """docs -> (doc_id, fp BIGINT), distinct per doc.
+
+    id-type-agnostic: the id value is passed through untouched (BIGINT or
+    the 128-bit struct, which pandas carries as a dict), so the output
+    schema follows the input's doc_id type."""
     k, mod = cfg.substring_gram, cfg.substring_mod
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            ids: list[int] = []
+            ids: list = []
             fps: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
                 for fp in py_select_fingerprints(str(text), k, mod):
-                    ids.append(int(doc_id))
+                    ids.append(doc_id)
                     fps.append(fp)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(ids, dtype="object"),
                     "fp": pd.Series(fps, dtype="int64"),
                 }
             )
 
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    return src.mapInPandas(gen, schema="doc_id bigint, fp bigint")
+    id_ddl = src.schema["doc_id"].dataType.simpleString()
+    return src.mapInPandas(gen, schema=f"doc_id {id_ddl}, fp bigint")
 
 
 def fingerprint_candidate_pairs(fps: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -217,16 +222,17 @@ def substring_pairs(
                 s, t = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
                 span = py_longest_common_substring(str(s), str(t))
                 if span >= min_len:
-                    rows.append((int(ia), int(ib), int(span)))
+                    rows.append((ia, ib, int(span)))  # ids pass through
             yield pd.DataFrame(
                 {
-                    "id_a": pd.Series([r[0] for r in rows], dtype="int64"),
-                    "id_b": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "id_a": pd.Series([r[0] for r in rows], dtype="object"),
+                    "id_b": pd.Series([r[1] for r in rows], dtype="object"),
                     "span_len": pd.Series([r[2] for r in rows], dtype="int64"),
                 }
             )
 
+    id_ddl = src.schema["doc_id"].dataType.simpleString()
     out = with_text.mapInPandas(
-        verify, schema="id_a bigint, id_b bigint, span_len bigint"
+        verify, schema=f"id_a {id_ddl}, id_b {id_ddl}, span_len bigint"
     )
     return out.select("*", F.lit("substring").alias("tier"))

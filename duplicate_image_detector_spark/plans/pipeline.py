@@ -12,11 +12,16 @@ Stage boundaries match the reference's pipeline steps 1-7 (README.md:33-41);
 every stage checkpoint is keyed by the config hash (ref cache-key contract,
 :439-451), so a crashed run resumes at the first incomplete stage.
 
-``doc_id`` is ``xxhash64(url)``: a compact 8-byte join key instead of the
-url string in every shuffle.  Collision math: at 10^12 docs the expected
-number of 64-bit collisions is ~27 (n²/2^65); a production hardening is the
-(xxhash64(url), xxhash64(reverse(url))) 128-bit pair — the structure is
-unchanged, so the 64-bit key is used here.
+``doc_id`` is ``xxhash64(url)`` (``cfg.id_bits=64``, default): a compact
+8-byte join key instead of the url string in every shuffle.  Collision
+math: at 10^12 docs the expected number of 64-bit collisions is ~27
+(n²/2^65).  ``cfg.id_bits=128`` switches to the hardened
+``struct(xxhash64(url), xxhash64(reverse(url)))`` key (~0 expected
+collisions at any realistic scale): every downstream stage — signatures,
+LSH, verify, substring, CC, cluster assembly — is id-type-agnostic
+(orderable-key joins/aggregates; Python kernels pass the id column
+through untouched), so the plan shape is identical, only the key width
+changes.  Golden-tested under both settings.
 """
 
 from __future__ import annotations
@@ -134,11 +139,18 @@ def run_pipeline(
         # lang rides along (null when the source lacks it) — the
         # integrated mode's metadata key needs it.
         lang = F.col("lang") if "lang" in src.columns else F.lit(None).cast("string")
+        if cfg.id_bits == 128:
+            doc_id = F.struct(
+                F.xxhash64("url").alias("h1"),
+                F.xxhash64(F.reverse(F.col("url"))).alias("h2"),
+            )
+        else:
+            doc_id = F.xxhash64("url")
         return src.where(
             F.col("text").isNotNull()
             & (F.length("text") >= cfg.min_text_len)
         ).select(
-            F.xxhash64("url").alias("doc_id"), "url", "text",
+            doc_id.alias("doc_id"), "url", "text",
             lang.alias("lang"),
         )
 

@@ -127,6 +127,40 @@ def test_family_expectations(pipeline_result, tiny_corpus):
     assert len(found) >= 0.99 * len(f5)
 
 
+def test_id_bits_128_same_clusters(spark, tiny_pages_df, cfg, pipeline_result):
+    """cfg.id_bits=128: doc_id becomes a struct(h1, h2) key through every
+    stage (signatures, LSH, verify, substring, CC, assembly) and the
+    resulting clusters are IDENTICAL (as url sets) to the 64-bit run —
+    the key width changes, the semantics do not."""
+    from dataclasses import replace
+
+    c128 = replace(cfg.with_recall_banding(), id_bits=128)
+    r = run_pipeline(spark, tiny_pages_df, c128)
+    assert r.clusters.schema["doc_id"].dataType.simpleString().startswith(
+        "struct<"
+    )
+    cl = r.clusters.select(
+        "url",
+        F.concat_ws(
+            "_", F.col("cluster_id.h1"), F.col("cluster_id.h2")
+        ).alias("cid"),
+        "tier",
+        "is_representative",
+    ).toPandas()
+    got_sets = set(cl.groupby("cid")["url"].apply(frozenset).tolist())
+    want_sets = set(
+        pipeline_result.clusters.select("url", "cluster_id")
+        .toPandas()
+        .groupby("cluster_id")["url"]
+        .apply(frozenset)
+        .tolist()
+    )
+    assert got_sets == want_sets
+    # exactly one representative per cluster under the struct key too
+    reps = cl.groupby("cid")["is_representative"].sum()
+    assert (reps == 1).all()
+
+
 def test_partition_count_invariance(spark, tiny_pages_df, cfg):
     """Same clusters regardless of input partitioning (FIXTURES.md §5.3)."""
     c = cfg.with_recall_banding()
