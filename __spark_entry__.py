@@ -184,6 +184,40 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters_id128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup tier under 128-bit struct doc ids (the cfg.id_bits=128
+    hardening): signatures, LSH, verify, and connected components ALL run
+    on struct(h1, h2) keys derived 1:1 from doc_id; components are then
+    relabeled by the min ORIGINAL doc_id, so the output compares against
+    the SAME DuckDB oracle as near_dup_clusters — identical clusters,
+    wider key, hard-gated."""
+    from duplicate_image_detector_spark.operators.lsh import (
+        lsh_candidate_pairs,
+    )
+    from duplicate_image_detector_spark.operators.verify import verify_pairs
+
+    docs = _docs(spark, sf_dir)
+    sid = F.struct(
+        F.xxhash64("doc_id").alias("h1"),
+        F.xxhash64("doc_id", "doc_id").alias("h2"),
+    )
+    d128 = docs.select(sid.alias("doc_id"), "text")
+    sig = compute_signatures(d128, CFG_GATE)
+    cands = lsh_candidate_pairs(sig, CFG_GATE)
+    ver = verify_pairs(cands, sig, CFG_GATE)
+    cc = connected_components(ver.select("id_a", "id_b"))
+    m = docs.select(sid.alias("sid"), F.col("doc_id").alias("orig"))
+    withorig = cc.join(m, cc["doc_id"] == m["sid"]).select(
+        F.col("orig").alias("doc_id"), "cluster_id"
+    )
+    # struct-min cluster labels are ordering-specific to (h1, h2);
+    # relabel by min ORIGINAL id for oracle comparability
+    lab = withorig.groupBy("cluster_id").agg(F.min("doc_id").alias("cmin"))
+    return withorig.join(lab, "cluster_id").select(
+        "doc_id", F.col("cmin").alias("cluster_id")
+    )
+
+
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming <= max over the md5-60bit base hash via EXACT
     pigeonhole banding (4 x 15-bit chunk equi-joins + bit_count verify) —
@@ -602,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_id128": q_near_dup_clusters_id128,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "integrated_pairs": q_integrated_pairs,
         "substring_pairs": q_substring_pairs,
@@ -899,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
         "minhash_lsh_pairs": _JACCARD_PAIRS,
         "near_dup_clusters": _CC_SQL,
+        "near_dup_clusters_id128": _CC_SQL,
         "simhash_hamming_pairs": _SIMHASH_SQL,
         "integrated_pairs": _INTEGRATED_SQL,
         "substring_pairs": _SUBSTRING_SQL,

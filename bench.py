@@ -137,6 +137,10 @@ def run_default() -> None:
         if timings.get("dedup_pipeline")
         else None
     )
+    # hardware-state control: the same Spark-free kernel every round, so a
+    # cross-round query-time comparison can be normalized for VM drift
+    # (this VM's throughput oscillates 1.2-3x between windows; measured)
+    raw = _raw_hardware_ceiling(levels=(int(cpus),))[int(cpus)]
     print(
         json.dumps(
             {
@@ -147,6 +151,7 @@ def run_default() -> None:
                 "sf": sf,
                 "pipeline_docs_per_sec": docs_per_sec,
                 "cpus": int(cpus),
+                "raw_kernel_wall_sec": raw,
             }
         )
     )
@@ -547,6 +552,13 @@ def run_compare(baseline_path: str) -> None:
     print(line)  # keep the one-JSON-line contract
 
     alarms = []
+    if base.get("raw_kernel_wall_sec") and cur.get("raw_kernel_wall_sec"):
+        drift = cur["raw_kernel_wall_sec"] / base["raw_kernel_wall_sec"]
+        print(
+            f"\nhardware drift control (raw kernel wall): x{drift:.2f} — "
+            "judge per-query ratios against this, not against 1.0",
+            file=sys.stderr,
+        )
     print(f"\n{'query':<24}{'base(s)':>10}{'now(s)':>10}{'ratio':>8}", file=sys.stderr)
     for name, now in sorted(cur["queries"].items()):
         b = base_q.get(name)
