@@ -529,6 +529,139 @@ shuffles), i.e. ~500 TB corpus -> ~60 TB shuffled once.
         fh.write(md)
 
 
+# ---------------------------------------------------------------------------
+# recall mode: planted-family dup-pair recall at scale (north-rule >= 0.99)
+# ---------------------------------------------------------------------------
+
+def _ensure_recall_corpus(n_docs: int) -> str:
+    """Corpus WITH planted ground truth (family, family_id per url)."""
+    corpus = os.path.join(BENCH_DIR, f"recall_corpus_{n_docs // 1000}k.parquet")
+    if os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        return corpus
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    from duplicate_image_detector_spark.sources.fixtures import (
+        generate_pages_spark,
+    )
+
+    print(f"generating {n_docs}-doc truth corpus ...", file=sys.stderr)
+    spark = _spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    df = generate_pages_spark(spark, n_docs, seed=42, n_partitions=128,
+                              include_truth=True)
+    df.select("url", "text", "family", "family_id").write.mode(
+        "overwrite"
+    ).parquet(corpus)
+    spark.stop()
+    return corpus
+
+
+def run_recall(n_docs: int = 100000) -> None:
+    """Run the FULL shipped pipeline (default config, default banding) over a
+    planted-truth corpus and measure the north rule's recall criterion:
+    dup-pair recall >= 0.99 over the planted positive families (exact,
+    near-template, paragraph-shuffle, long-shared-span) plus the false-merge
+    rate on the planted negatives (boilerplate-heavy, cross-lang).
+
+    The tiny golden fixtures already pin recall vs the transcribed reference
+    oracle (tests/test_pipeline_golden.py); this measures the same property
+    at a corpus size where LSH banding probabilities, bucket caps, and the
+    substring sampling density actually bite."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from duplicate_image_detector_spark.config import PipelineConfig
+    from duplicate_image_detector_spark.plans.pipeline import run_pipeline
+
+    corpus = _ensure_recall_corpus(n_docs)
+    spark = _spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(corpus)
+
+    ckpt = tempfile.mkdtemp(prefix="recall_ckpt_")
+    t0 = time.time()
+    res = run_pipeline(
+        spark, pages.select("url", "text"), PipelineConfig(),
+        checkpoint_dir=ckpt,
+    )
+    n_clustered = res.clusters.count()
+    wall = round(time.time() - t0, 2)
+
+    # docs the pipeline actually admitted (min_text_len filter): planted
+    # 'short' docs are excluded from the truth universe the same way
+    truth = (
+        pages.where(F.length("text") >= PipelineConfig().min_text_len)
+        .select("url", "family", "family_id")
+    )
+    # unclustered docs keep their own doc_id as a singleton cluster label;
+    # xxhash64(url) IS the pipeline's doc_id, and a non-member's id can
+    # never equal a real cluster label (labels are member ids)
+    j = truth.join(
+        res.clusters.select("url", "cluster_id"), "url", "left"
+    ).select(
+        "family", "family_id",
+        F.coalesce("cluster_id", F.xxhash64("url")).alias("cid"),
+    )
+
+    POSITIVE = ("exact", "near", "shuffle", "substring")
+    NEGATIVE = ("boilerplate", "xlang")
+
+    per_fc = j.groupBy("family", "family_id", "cid").count()
+    fam = per_fc.groupBy("family", "family_id").agg(
+        F.sum("count").alias("n"),
+        F.sum(F.expr("count * (count - 1) DIV 2")).alias("matched_pairs"),
+    ).withColumn("total_pairs", F.expr("n * (n - 1) DIV 2"))
+
+    by_family = {
+        r["family"]: {
+            "matched_pairs": int(r["m"]),
+            "total_pairs": int(r["t"]),
+            "recall": round(r["m"] / r["t"], 5) if r["t"] else None,
+        }
+        for r in fam.groupBy("family").agg(
+            F.sum("matched_pairs").alias("m"), F.sum("total_pairs").alias("t")
+        ).collect()
+    }
+    pos_m = sum(by_family[f]["matched_pairs"] for f in POSITIVE if f in by_family)
+    pos_t = sum(by_family[f]["total_pairs"] for f in POSITIVE if f in by_family)
+    neg_m = sum(by_family[f]["matched_pairs"] for f in NEGATIVE if f in by_family)
+    neg_t = sum(by_family[f]["total_pairs"] for f in NEGATIVE if f in by_family)
+
+    # precision over the whole admitted universe: predicted same-cluster
+    # pairs vs same-planted-family pairs (singletons/negatives in one
+    # cluster are false positives)
+    pred = j.groupBy("cid").count().agg(
+        F.sum(F.expr("count * (count - 1) DIV 2"))
+    ).collect()[0][0] or 0
+    tp = pos_m
+    out = {
+        "metric": "planted_pair_recall",
+        "value": round(pos_m / pos_t, 5) if pos_t else None,
+        "unit": "ratio",
+        "target": 0.99,
+        "n_docs": n_docs,
+        "n_clustered_docs": n_clustered,
+        "pipeline_wall_sec": wall,
+        "by_family": by_family,
+        "false_merged_negative_pairs": int(neg_m),
+        "negative_pairs_total": int(neg_t),
+        "precision_planted": round(tp / pred, 5) if pred else None,
+        "predicted_pairs_total": int(pred),
+        "config": "shipped defaults (16x8 banding, jaccard>=0.86)",
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    name = (  # non-default sizes never overwrite the headline evidence
+        "recall.json" if n_docs == 100000 else f"recall_{n_docs // 1000}k.json"
+    )
+    with open(os.path.join(BENCH_DIR, name), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark.stop()
+
+
 def run_compare(baseline_path: str) -> None:
     """Regression check: run the default bench, diff per-query against a
     previous BENCH_rNN.json, print a delta table and alarm on >2x slowdowns
@@ -590,6 +723,12 @@ if __name__ == "__main__":
             else 500000
         )
         run_scaling(n_docs=n_docs)
+    elif "--recall" in sys.argv:
+        run_recall(
+            int(sys.argv[sys.argv.index("--docs") + 1])
+            if "--docs" in sys.argv
+            else 100000
+        )
     elif "--skew" in sys.argv:
         run_skew()
     else:

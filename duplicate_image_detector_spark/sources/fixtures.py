@@ -172,6 +172,7 @@ def generate_pages_spark(
     n_docs: int,
     seed: int = 42,
     n_partitions: int = 64,
+    include_truth: bool = False,
 ):
     """Distributed corpus generation: each partition deterministically
     generates its slice with ``generate_pages(per_part, seed + pid)`` and a
@@ -179,22 +180,36 @@ def generate_pages_spark(
     what a single-process generator can produce (the generator itself obeys
     the engine's own rule: embarrassingly parallel, seed-deterministic,
     no cross-partition coordination).
+
+    ``include_truth=True`` appends the planted ground-truth columns
+    (``family``, ``family_id``) to every row — ``family_id`` is globally
+    unique (partition-offset) so planted families never span partitions
+    and recall can be measured at any corpus size (``bench.py --recall``).
     """
     per_part = max(1, n_docs // n_partitions)
     schema = (
         "url string, warc_ts timestamp, html binary, text string, lang string"
     )
+    if include_truth:
+        schema += ", family string, family_id bigint"
 
     def gen(batches):
         for pdf in batches:
             for pid in pdf["id"]:
                 pid = int(pid)
-                pages, _ = generate_pages(per_part, seed=seed * 100003 + pid)
+                pages, truth = generate_pages(per_part, seed=seed * 100003 + pid)
                 pages = pages.copy()
                 pages["url"] = pages["url"].str.replace(
                     "https://", f"https://p{pid}.", n=1, regex=False
                 )
-                yield pages[["url", "warc_ts", "html", "text", "lang"]]
+                cols = ["url", "warc_ts", "html", "text", "lang"]
+                if include_truth:
+                    pages["family"] = truth["family"]
+                    pages["family_id"] = (
+                        truth["family_id"].astype("int64") + pid * 1_000_000_000
+                    )
+                    cols += ["family", "family_id"]
+                yield pages[cols]
 
     return (
         spark.range(n_partitions)
