@@ -91,6 +91,7 @@ def run_pipeline(
     enable_substring: bool = True,
     exclude_exact: bool = False,
     mode: str = "plain",
+    table_format: str = "parquet",
 ) -> PipelineResult:
     """pages(url, html|text, ...) -> PipelineResult.
 
@@ -113,6 +114,11 @@ def run_pipeline(
     All three run-level flags are folded into the checkpoint key alongside
     the config hash, so rerunning on the same ``checkpoint_dir`` with a
     flipped flag recomputes rather than resuming stale stages.
+
+    ``table_format='iceberg'`` stores stage checkpoints as Iceberg tables
+    in the ``checkpoint_dir``-named namespace (atomic snapshot commits
+    instead of marker files); requires the Iceberg runtime jar + catalog —
+    see ``sources/iceberg.py``.
     """
     if mode not in ("plain", "integrated"):
         raise ValueError(f"mode must be plain|integrated, got {mode!r}")
@@ -120,7 +126,10 @@ def run_pipeline(
         use_md5_hash, enable_substring, exclude_exact, mode
     )
     ckpt = (
-        CheckpointManager(spark, checkpoint_dir, cfg, extra_key=extra_key)
+        CheckpointManager(
+            spark, checkpoint_dir, cfg, extra_key=extra_key,
+            table_format=table_format,
+        )
         if checkpoint_dir
         else CheckpointManager(spark, "", cfg, enabled=False, extra_key=extra_key)
     )
@@ -265,7 +274,14 @@ def run_pipeline(
 
     import os
 
-    cc_dir = os.path.join(ckpt.root, "_cc_work") if checkpoint_dir else None
+    # CC's per-iteration lineage truncation is scratch IO, not a durable
+    # checkpoint — it stays on the filesystem even under iceberg stage
+    # tables (ckpt.root is a namespace, not a dir, in that mode)
+    cc_dir = (
+        os.path.join(ckpt.root, "_cc_work")
+        if checkpoint_dir and table_format == "parquet"
+        else None
+    )
     components = ckpt.run(
         "components",
         lambda: connected_components(

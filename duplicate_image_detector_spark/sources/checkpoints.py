@@ -6,13 +6,15 @@ reused across runs iff the semantics-affecting config hash matches; its
 ``deletion_log``-style audit (ref :307-313, 2518-2524) maps to an
 append-only ``stage_metrics`` table with per-partition row counts.
 
-In this sandbox the stage tables are parquet directories laid out as
-``{base}/{config_hash}/{stage}``; in production each write is an Iceberg
-``writeTo(...).createOrReplace()`` whose snapshot commit supplies the
-atomicity that the ``_STAGE_COMPLETE`` marker supplies here (the reference's
+``table_format`` selects the storage backend.  The default ``parquet``
+lays stage tables out as ``{base}/{config_hash}/{stage}`` directories with
+a ``_STAGE_COMPLETE`` marker supplying completion atomicity.  ``iceberg``
+(requires the Iceberg runtime jar + catalog — see ``sources/iceberg.py``)
+writes each stage as ``dedup.{base}.{stage}_{config_hash}`` where the
+snapshot commit itself is the atomicity (the reference's
 delete-then-insert transaction, ref :2059-2081, maps the same way).
-A stage is recomputed only when its marker is absent — crash-resume skips
-every completed stage (north-rule requirement; resume test in
+A stage is recomputed only when its marker/table is absent — crash-resume
+skips every completed stage (north-rule requirement; resume test in
 tests/test_resume.py).
 """
 
@@ -46,12 +48,24 @@ class CheckpointManager:
     # PipelineConfig (e.g. enable_substring) — folded into the checkpoint
     # key so a rerun with a flipped flag can never resume stale stages
     extra_key: str = ""
+    # "parquet" (default; dirs + _STAGE_COMPLETE markers) or "iceberg"
+    # (base_dir is a catalog NAMESPACE; each stage is one table whose
+    # snapshot commit is the completion atomicity — sources/iceberg.py)
+    table_format: str = "parquet"
     computed_stages: list[str] = field(default_factory=list)
     resumed_stages: list[str] = field(default_factory=list)
     _metrics: list[dict] = field(default_factory=list)
 
+    def __post_init__(self) -> None:
+        if self.table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown table_format {self.table_format!r}")
+        if self.table_format == "iceberg" and self.enabled:
+            from duplicate_image_detector_spark.sources import iceberg
+
+            iceberg.require_iceberg(self.spark)
+
     @property
-    def root(self) -> str:
+    def _key(self) -> str:
         key = self.cfg.config_hash()
         if self.extra_key:
             import hashlib
@@ -59,12 +73,25 @@ class CheckpointManager:
             key = hashlib.sha256(
                 (key + "|" + self.extra_key).encode()
             ).hexdigest()[:16]
-        return os.path.join(self.base_dir, key)
+        return key
+
+    @property
+    def root(self) -> str:
+        return os.path.join(self.base_dir, self._key)
 
     def stage_path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
 
+    def _table(self, stage: str) -> str:
+        return f"{stage}_{self._key}"
+
     def is_complete(self, stage: str) -> bool:
+        if self.table_format == "iceberg":
+            from duplicate_image_detector_spark.sources import iceberg
+
+            return iceberg.table_exists(
+                self.spark, self.base_dir, self._table(stage)
+            )
         return os.path.exists(os.path.join(self.stage_path(stage), _MARKER))
 
     def run(self, stage: str, fn) -> DataFrame:
@@ -89,14 +116,19 @@ class CheckpointManager:
         path = self.stage_path(stage)
         if self.is_complete(stage):
             self.resumed_stages.append(stage)
-            return self.spark.read.parquet(path)
+            return self._read(stage, path)
         t0 = time.time()
         df = fn()
-        df.write.mode("overwrite").parquet(path)
+        if self.table_format == "iceberg":
+            from duplicate_image_detector_spark.sources import iceberg
+
+            iceberg.write_table(df, self.base_dir, self._table(stage))
+        else:
+            df.write.mode("overwrite").parquet(path)
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
-            # the durable parquet copy supersedes any operator-side cache
+            # the durable table copy supersedes any operator-side cache
             df.unpersist()
-        out = self.spark.read.parquet(path)
+        out = self._read(stage, path)
         # per-partition (per-file) lineage counters — the distributed analog
         # of the reference's per-run counters (ref :2744-2770)
         part_rows = {
@@ -119,10 +151,21 @@ class CheckpointManager:
             }
         )
         self._write_metrics()
-        with open(os.path.join(path, _MARKER), "w") as fh:
-            fh.write(json.dumps({"wall_ms": wall_ms}))
+        if self.table_format == "parquet":
+            # iceberg needs no marker: the snapshot commit IS completion
+            with open(os.path.join(path, _MARKER), "w") as fh:
+                fh.write(json.dumps({"wall_ms": wall_ms}))
         self.computed_stages.append(stage)
         return out
+
+    def _read(self, stage: str, path: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            from duplicate_image_detector_spark.sources import iceberg
+
+            return iceberg.read_table(
+                self.spark, self.base_dir, self._table(stage)
+            )
+        return self.spark.read.parquet(path)
 
     def _write_metrics(self) -> None:
         if not self._metrics:
@@ -131,16 +174,35 @@ class CheckpointManager:
             [tuple(m.values()) for m in self._metrics],
             schema=STAGE_METRICS_SCHEMA,
         )
-        mdf.write.mode("append").parquet(os.path.join(self.root, "_stage_metrics"))
+        if self.table_format == "iceberg":
+            from duplicate_image_detector_spark.sources import iceberg
+
+            iceberg.append_table(mdf, self.base_dir, f"stage_metrics_{self._key}")
+        else:
+            mdf.write.mode("append").parquet(
+                os.path.join(self.root, "_stage_metrics")
+            )
         self._metrics.clear()
 
     def stage_metrics(self) -> DataFrame | None:
+        if self.table_format == "iceberg":
+            from duplicate_image_detector_spark.sources import iceberg
+
+            t = f"stage_metrics_{self._key}"
+            if not iceberg.table_exists(self.spark, self.base_dir, t):
+                return None
+            return iceberg.read_table(self.spark, self.base_dir, t)
         p = os.path.join(self.root, "_stage_metrics")
         if not os.path.exists(p):
             return None
         return self.spark.read.parquet(p)
 
     def invalidate(self, stage: str) -> None:
+        if self.table_format == "iceberg":
+            from duplicate_image_detector_spark.sources import iceberg
+
+            iceberg.drop_table(self.spark, self.base_dir, self._table(stage))
+            return
         marker = os.path.join(self.stage_path(stage), _MARKER)
         if os.path.exists(marker):
             os.remove(marker)

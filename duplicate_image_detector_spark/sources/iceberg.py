@@ -1,0 +1,117 @@
+"""Iceberg capability layer — probe, catalog config, and the table-write
+path the checkpoint/store layers use when an Iceberg catalog is present.
+
+The SURVEY data model names Iceberg tables ("checkpoint per-stage to
+Iceberg"); this sandbox ships no Iceberg runtime jar, so the engine follows
+the same pattern as the media codecs (functions/multimodal.py): probe at
+runtime, use the real thing when present, fall back loudly otherwise.
+Everything here is plain public Spark + Iceberg API:
+
+  - ``iceberg_conf()`` returns the standard SparkCatalog configuration for
+    a Hadoop-warehouse catalog (the zero-service deployment; swap
+    ``type=hadoop`` for ``type=rest``/``hive`` in a real deployment).
+  - ``has_iceberg(spark)`` probes the JVM for the Iceberg Spark catalog
+    class — the definitive "is the runtime jar on the classpath" test.
+  - ``write_table`` / ``read_table`` / ``table_exists`` are the three
+    operations CheckpointManager needs; each Iceberg write is a single
+    atomic snapshot commit, which is exactly what the parquet fallback's
+    ``_STAGE_COMPLETE`` marker approximates.
+
+Production wiring:
+
+    from duplicate_image_detector_spark.session import get_spark
+    from duplicate_image_detector_spark.sources.iceberg import iceberg_conf
+    spark = get_spark(extra_conf=iceberg_conf("/warehouse"))
+    ckpt = CheckpointManager(spark, "ckpt_db", cfg, table_format="iceberg")
+
+(spark-submit additionally needs
+``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>``.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: catalog name the engine uses for its stage/store tables
+CATALOG = "dedup"
+
+_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_conf(warehouse: str, catalog: str = CATALOG) -> dict[str, str]:
+    """Spark confs for a Hadoop-warehouse Iceberg catalog (public API;
+    see iceberg.apache.org/docs 'Spark Configuration')."""
+    return {
+        f"spark.sql.catalog.{catalog}": _CATALOG_CLASS,
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+
+
+def has_iceberg(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime jar is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(_CATALOG_CLASS)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def require_iceberg(spark: SparkSession) -> None:
+    if not has_iceberg(spark):
+        raise RuntimeError(
+            "table_format='iceberg' requires the Iceberg Spark runtime jar "
+            "(--packages org.apache.iceberg:iceberg-spark-runtime-...) and "
+            f"a configured '{CATALOG}' catalog (see sources/iceberg.py). "
+            "This environment has neither — use the parquet checkpoint "
+            "format (the default)."
+        )
+
+
+def _qualify(namespace: str, table: str, catalog: str = CATALOG) -> str:
+    return f"{catalog}.{namespace}.{table}"
+
+
+def write_table(
+    df: DataFrame, namespace: str, table: str, catalog: str = CATALOG
+) -> None:
+    """Replace-or-create the stage table in ONE atomic snapshot commit."""
+    spark = df.sparkSession
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+    df.writeTo(_qualify(namespace, table, catalog)).using(
+        "iceberg"
+    ).createOrReplace()
+
+
+def append_table(
+    df: DataFrame, namespace: str, table: str, catalog: str = CATALOG
+) -> None:
+    """Append rows, creating the table on first write (audit-log shape)."""
+    spark = df.sparkSession
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+    full = _qualify(namespace, table, catalog)
+    if spark.catalog.tableExists(full):
+        df.writeTo(full).append()
+    else:
+        df.writeTo(full).using("iceberg").create()
+
+
+def drop_table(
+    spark: SparkSession, namespace: str, table: str, catalog: str = CATALOG
+) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {_qualify(namespace, table, catalog)}")
+
+
+def read_table(
+    spark: SparkSession, namespace: str, table: str, catalog: str = CATALOG
+) -> DataFrame:
+    return spark.read.table(_qualify(namespace, table, catalog))
+
+
+def table_exists(
+    spark: SparkSession, namespace: str, table: str, catalog: str = CATALOG
+) -> bool:
+    return spark.catalog.tableExists(_qualify(namespace, table, catalog))
