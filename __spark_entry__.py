@@ -218,6 +218,32 @@ def q_near_dup_clusters_id128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP end-to-end: ``run_pipeline`` itself (extract → exact
+    tier → signatures → LSH → verify → substring tier → union edges → CC →
+    cluster assembly), value-checked against a DuckDB oracle that unions
+    text-equality pairs, exact-Jaccard >= 0.86 pairs, and shared-400-char-
+    window pairs and runs a recursive-CTE connected components over them.
+    The per-tier gates each check one stage; this one checks their
+    composition — the thing ``entry()`` actually ships.
+
+    Pipeline doc ids are xxhash64(url) (not reproducible in DuckDB), so the
+    output is mapped back to the table's doc_id via url and cluster labels
+    are re-minimized over original ids, exactly like the id128 gate."""
+    from duplicate_image_detector_spark.plans.pipeline import run_pipeline
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    pages = docs.select(url.alias("url"), "text")
+    res = run_pipeline(spark, pages, CFG_GATE, use_md5_hash=True)
+    m = docs.select(url.alias("url"), F.col("doc_id").alias("orig"))
+    withorig = res.clusters.select("url", "cluster_id").join(m, "url")
+    lab = withorig.groupBy("cluster_id").agg(F.min("orig").alias("cmin"))
+    return withorig.join(lab, "cluster_id").select(
+        F.col("orig").alias("doc_id"), F.col("cmin").alias("cluster_id")
+    )
+
+
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming <= max over the md5-60bit base hash via EXACT
     pigeonhole banding (4 x 15-bit chunk equi-joins + bit_count verify) —
@@ -637,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_id128": q_near_dup_clusters_id128,
+        "pipeline_clusters": q_pipeline_clusters,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "integrated_pairs": q_integrated_pairs,
         "substring_pairs": q_substring_pairs,
@@ -788,6 +815,39 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
 """
 
+# full-pipeline oracle: CC over the union of all three evidence tiers —
+# byte-identical text (exact), shingle-Jaccard >= 0.86 (near), and a shared
+# 400-char window (substring)
+_PIPELINE_CC_SQL = f"""
+WITH RECURSIVE jp AS ({_JACCARD_PAIRS}),
+d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 50
+),
+ep AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+),
+sp AS ({_SUBSTRING_SQL}),
+ap AS (
+  SELECT id_a, id_b FROM jp
+  UNION SELECT id_a, id_b FROM ep
+  UNION SELECT id_a, id_b FROM sp
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM ap
+  UNION
+  SELECT id_b, id_a FROM ap
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+walk(node, label) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+"""
+
 _TOKEN_STATS_SQL = f"""
 WITH words AS ({_words_cte(minlen=0)})
 SELECT doc_id,
@@ -935,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _JACCARD_PAIRS,
         "near_dup_clusters": _CC_SQL,
         "near_dup_clusters_id128": _CC_SQL,
+        "pipeline_clusters": _PIPELINE_CC_SQL,
         "simhash_hamming_pairs": _SIMHASH_SQL,
         "integrated_pairs": _INTEGRATED_SQL,
         "substring_pairs": _SUBSTRING_SQL,
