@@ -230,12 +230,30 @@ def q_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline doc ids are xxhash64(url) (not reproducible in DuckDB), so the
     output is mapped back to the table's doc_id via url and cluster labels
     are re-minimized over original ids, exactly like the id128 gate."""
+    return _pipeline_clusters(spark, sf_dir, exclude_exact=False)
+
+
+def q_pipeline_clusters_exclude_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship under P3 candidate-space pruning (``exclude_exact=True``,
+    the reference's 'both' mode): non-representative exact-group members
+    skip the near/substring stages and are reconnected by exact star edges
+    in CC.  Final clusters are IDENTICAL by design — so this gate runs
+    against the very same DuckDB oracle as pipeline_clusters, turning the
+    pytest equivalence theorem into a hard driver-checked fact."""
+    return _pipeline_clusters(spark, sf_dir, exclude_exact=True)
+
+
+def _pipeline_clusters(
+    spark: SparkSession, sf_dir: str, exclude_exact: bool
+) -> DataFrame:
     from duplicate_image_detector_spark.plans.pipeline import run_pipeline
 
     docs = _docs(spark, sf_dir)
     url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
     pages = docs.select(url.alias("url"), "text")
-    res = run_pipeline(spark, pages, CFG_GATE, use_md5_hash=True)
+    res = run_pipeline(
+        spark, pages, CFG_GATE, use_md5_hash=True, exclude_exact=exclude_exact
+    )
     m = docs.select(url.alias("url"), F.col("doc_id").alias("orig"))
     withorig = res.clusters.select("url", "cluster_id").join(m, "url")
     lab = withorig.groupBy("cluster_id").agg(F.min("orig").alias("cmin"))
@@ -664,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_id128": q_near_dup_clusters_id128,
         "pipeline_clusters": q_pipeline_clusters,
+        "pipeline_clusters_exclude_exact": q_pipeline_clusters_exclude_exact,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "integrated_pairs": q_integrated_pairs,
         "substring_pairs": q_substring_pairs,
@@ -996,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _CC_SQL,
         "near_dup_clusters_id128": _CC_SQL,
         "pipeline_clusters": _PIPELINE_CC_SQL,
+        "pipeline_clusters_exclude_exact": _PIPELINE_CC_SQL,
         "simhash_hamming_pairs": _SIMHASH_SQL,
         "integrated_pairs": _INTEGRATED_SQL,
         "substring_pairs": _SUBSTRING_SQL,
