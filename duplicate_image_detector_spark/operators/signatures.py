@@ -112,6 +112,54 @@ class _ShingleHasher:
             out[i] = h
         return out
 
+    def batch_token_hashes(
+        self, words_lists: list[list[str]]
+    ) -> list[np.ndarray]:
+        """Token-hash arrays for a whole batch of docs at once.
+
+        Same values as per-doc ``_token_hashes``, but the memo-dict lookup
+        runs once per DISTINCT word in the batch (``pd.factorize``, a C
+        hash table) instead of once per word occurrence — profiling showed
+        the per-occurrence dict gets (11.5M per 20k docs) costing ~25% of
+        the whole signature kernel.
+        """
+        import pandas as pd
+
+        tok = self._tok
+        if len(tok) > 2_000_000:
+            tok.clear()
+        flat = [w for ws in words_lists for w in ws]
+        if not flat:
+            return [np.empty(0, dtype=np.uint64) for _ in words_lists]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.empty(len(uniques), dtype=np.uint64)
+        for j, w in enumerate(uniques):
+            h = tok.get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                tok[w] = h
+            uh[j] = h
+        th_flat = uh[codes]
+        out: list[np.ndarray] = []
+        pos = 0
+        for ws in words_lists:
+            out.append(th_flat[pos : pos + len(ws)])
+            pos += len(ws)
+        return out
+
+    def poly_doc_hashes(self, th: np.ndarray) -> np.ndarray | None:
+        """distinct sorted int64 shingle hashes from one doc's token-hash
+        array (the 'poly' fold of ``doc_hashes``, split out for the
+        batch path)."""
+        k = self.k
+        if len(th) < k:
+            return None
+        m = len(th) - k + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h = h * _POLY_B + th[j : j + m]  # wraps mod 2^64 (intended)
+        return np.unique(h.view(np.int64))
+
     def doc_hashes(self, words: list[str]) -> np.ndarray | None:
         """distinct sorted int64 shingle hashes for one doc, or None."""
         k = self.k
@@ -129,12 +177,7 @@ class _ShingleHasher:
                 count=len(shingles),
             )
             return np.unique(hs)
-        th = self._token_hashes(words)
-        m = len(words) - k + 1
-        h = np.zeros(m, dtype=np.uint64)
-        for j in range(k):
-            h = h * _POLY_B + th[j : j + m]  # wraps mod 2^64 (intended)
-        return np.unique(h.view(np.int64))
+        return self.poly_doc_hashes(self._token_hashes(words))
 
 
 def _list_array(flat: np.ndarray, lengths: list[int], pa_type):
@@ -177,27 +220,47 @@ def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str)
         names.append("shingle_hashes")
     names += ["minhash", "simhash"]
 
+    n_bits = len(bit_idx)
+
     def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         hasher = _ShingleHasher(hash_kind, k)
         for batch in batches:
             texts = batch.column("text").to_pylist()
+            # pass 1: tokenize survivors, then hash tokens for the WHOLE
+            # batch at once ('poly': one factorize + one memo probe per
+            # distinct word — see batch_token_hashes)
+            idxs: list[int] = []
+            words_lists: list[list[str]] = []
+            for i, text in enumerate(texts):
+                if text is None or len(text) < min_len:
+                    continue
+                idxs.append(i)
+                words_lists.append(py_tokenize(text))
+            if hash_kind == "poly":
+                th_list = hasher.batch_token_hashes(words_lists)
+                hs_list = [hasher.poly_doc_hashes(th) for th in th_list]
+            else:
+                hs_list = [hasher.doc_hashes(ws) for ws in words_lists]
+
             kept: list[int] = []
             shas, ntok, nsh, sh64 = [], [], [], []
             hs_chunks: list[np.ndarray] = []
             mh_rows: list[np.ndarray] = []
-            for i, text in enumerate(texts):
-                if text is None or len(text) < min_len:
-                    continue
-                words = py_tokenize(text)
-                hs = hasher.doc_hashes(words)
+            for i, words, hs in zip(idxs, words_lists, hs_list):
                 if hs is None or len(hs) == 0:
                     continue
                 h32 = hs & _U32
                 mh = ((a_col * h32[None, :] + b_col) % prime).min(axis=1)
-                bits = (hs[:, None] >> bit_idx[None, :]) & np.int64(1)
-                sums = (2 * bits - 1).sum(axis=0)
+                # SimHash bit counts via unpackbits on the raw (little-
+                # endian) bytes: identical bits 0..59, but a (n, 64) uint8
+                # matrix instead of (n, 60) int64 — 8x less memory traffic
+                byt = hs.astype("<i8", copy=False).view(np.uint8).reshape(-1, 8)
+                counts = np.unpackbits(byt, axis=1, bitorder="little").sum(
+                    axis=0, dtype=np.int64
+                )[:n_bits]
+                sums = 2 * counts - len(hs)
                 kept.append(i)
-                shas.append(hashlib.sha256(text.encode()).hexdigest())
+                shas.append(hashlib.sha256(texts[i].encode()).hexdigest())
                 ntok.append(len(words))
                 nsh.append(len(hs))
                 if include_shingles:
