@@ -250,7 +250,13 @@ def _signatures_gen(cfg: PipelineConfig, include_shingles: bool, hash_kind: str)
                 if hs is None or len(hs) == 0:
                     continue
                 h32 = hs & _U32
-                mh = ((a_col * h32[None, :] + b_col) % prime).min(axis=1)
+                # (n_perm, n_shingles) permutation-hash matrix, built with
+                # in-place ufuncs (one temporary instead of three; the
+                # matrix is the kernel's largest allocation)
+                ph = np.multiply(a_col, h32[None, :])
+                np.add(ph, b_col, out=ph)
+                np.remainder(ph, prime, out=ph)
+                mh = ph.min(axis=1)
                 # SimHash bit counts via unpackbits on the raw (little-
                 # endian) bytes: identical bits 0..59, but a (n, 64) uint8
                 # matrix instead of (n, 60) int64 — 8x less memory traffic
