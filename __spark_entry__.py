@@ -109,6 +109,12 @@ def clear_caches() -> None:
             except Exception:
                 pass
         cache.clear()
+    for df in _GATE_RESULTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _GATE_RESULTS.clear()
 
 
 def _sig_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,9 +249,14 @@ def q_pipeline_clusters_exclude_exact(spark: SparkSession, sf_dir: str) -> DataF
     return _pipeline_clusters(spark, sf_dir, exclude_exact=True)
 
 
+_GATE_RESULTS: list[DataFrame] = []
+
+
 def _pipeline_clusters(
     spark: SparkSession, sf_dir: str, exclude_exact: bool
 ) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     from duplicate_image_detector_spark.plans.pipeline import run_pipeline
 
     docs = _docs(spark, sf_dir)
@@ -257,9 +268,17 @@ def _pipeline_clusters(
     m = docs.select(url.alias("url"), F.col("doc_id").alias("orig"))
     withorig = res.clusters.select("url", "cluster_id").join(m, "url")
     lab = withorig.groupBy("cluster_id").agg(F.min("orig").alias("cmin"))
-    return withorig.join(lab, "cluster_id").select(
+    out = withorig.join(lab, "cluster_id").select(
         F.col("orig").alias("doc_id"), F.col("cmin").alias("cluster_id")
     )
+    # materialize the (tiny) gate result, then drop the ~10 stage caches
+    # the disabled checkpoint manager created — the driver runs all 37
+    # gates in ONE session and would otherwise accumulate them all
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    _GATE_RESULTS.append(out)
+    res.ckpt.unpersist_all()
+    return out
 
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

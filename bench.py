@@ -578,6 +578,9 @@ def run_recall(n_docs: int = 100000) -> None:
     spark = _spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus)
+    # the generator rounds the requested size to a partition multiple —
+    # report the MEASURED corpus size, as run_scaling does
+    n_rows = pages.count()
 
     ckpt = tempfile.mkdtemp(prefix="recall_ckpt_")
     t0 = time.time()
@@ -640,7 +643,7 @@ def run_recall(n_docs: int = 100000) -> None:
         "value": round(pos_m / pos_t, 5) if pos_t else None,
         "unit": "ratio",
         "target": 0.99,
-        "n_docs": n_docs,
+        "n_docs": int(n_rows),
         "n_clustered_docs": n_clustered,
         "pipeline_wall_sec": wall,
         "by_family": by_family,
@@ -685,24 +688,34 @@ def run_compare(baseline_path: str) -> None:
     print(line)  # keep the one-JSON-line contract
 
     alarms = []
+    drift = 1.0
     if base.get("raw_kernel_wall_sec") and cur.get("raw_kernel_wall_sec"):
         drift = cur["raw_kernel_wall_sec"] / base["raw_kernel_wall_sec"]
         print(
             f"\nhardware drift control (raw kernel wall): x{drift:.2f} — "
-            "judge per-query ratios against this, not against 1.0",
+            "the >2x alarm tests the drift-ADJUSTED ratio now/(base*drift) "
+            "(this VM's throughput swings 1.2-3x between windows; a raw "
+            "ratio would alarm on the weather, not the code)",
             file=sys.stderr,
         )
-    print(f"\n{'query':<24}{'base(s)':>10}{'now(s)':>10}{'ratio':>8}", file=sys.stderr)
+    print(
+        f"\n{'query':<24}{'base(s)':>10}{'now(s)':>10}{'ratio':>8}{'adj':>8}",
+        file=sys.stderr,
+    )
     for name, now in sorted(cur["queries"].items()):
         b = base_q.get(name)
         if b is None or b == 0:
             print(f"{name:<24}{'--':>10}{now:>10.2f}{'new':>8}", file=sys.stderr)
             continue
         ratio = now / b
-        flag = "  <<< ALARM >2x" if ratio > 2.0 else ""
-        print(f"{name:<24}{b:>10.2f}{now:>10.2f}{ratio:>8.2f}{flag}", file=sys.stderr)
-        if ratio > 2.0:
-            alarms.append((name, round(ratio, 2)))
+        adj = ratio / drift
+        flag = "  <<< ALARM >2x" if adj > 2.0 else ""
+        print(
+            f"{name:<24}{b:>10.2f}{now:>10.2f}{ratio:>8.2f}{adj:>8.2f}{flag}",
+            file=sys.stderr,
+        )
+        if adj > 2.0:
+            alarms.append((name, round(adj, 2)))
     if alarms:
         print(f"REGRESSION ALARMS (>2x): {alarms}", file=sys.stderr)
         sys.exit(1)

@@ -110,6 +110,14 @@ def connected_components(
 
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="cc_work_")
+        # the returned DataFrame lazily reads the LAST truncation parquet,
+        # so the dir can't be removed here; bound the leak to the process
+        # lifetime (long-lived drivers running many pipelines would
+        # otherwise accumulate one scratch dir of edge dumps per run)
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
     cur = _truncate(
         _canonical(
             edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))

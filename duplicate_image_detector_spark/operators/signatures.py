@@ -79,6 +79,13 @@ def _id_ddl(df: DataFrame, col: str = "doc_id") -> str:
 
 _U32 = np.int64(0xFFFFFFFF)
 _POLY_B = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio base, mod-2^64 wrap
+_MEMO_CAP = 2_000_000  # token-memo entries per worker (bounds memory)
+
+
+def _word_hash(w: str) -> int:
+    """The ONE home of the token-hash derivation (md5, top 8 bytes) —
+    shared by the per-doc and batch paths so they can never diverge."""
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
 
 
 class _ShingleHasher:
@@ -101,13 +108,13 @@ class _ShingleHasher:
 
     def _token_hashes(self, words: list[str]) -> np.ndarray:
         tok = self._tok
-        if len(tok) > 2_000_000:  # bound worker memory on huge vocabularies
+        if len(tok) > _MEMO_CAP:  # bound worker memory on huge vocabularies
             tok.clear()
         out = np.empty(len(words), dtype=np.uint64)
         for i, w in enumerate(words):
             h = tok.get(w)
             if h is None:
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                h = _word_hash(w)
                 tok[w] = h
             out[i] = h
         return out
@@ -126,7 +133,7 @@ class _ShingleHasher:
         import pandas as pd
 
         tok = self._tok
-        if len(tok) > 2_000_000:
+        if len(tok) > _MEMO_CAP:
             tok.clear()
         flat = [w for ws in words_lists for w in ws]
         if not flat:
@@ -136,7 +143,7 @@ class _ShingleHasher:
         for j, w in enumerate(uniques):
             h = tok.get(w)
             if h is None:
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                h = _word_hash(w)
                 tok[w] = h
             uh[j] = h
         th_flat = uh[codes]

@@ -79,7 +79,9 @@ class PipelineResult:
     signatures: DataFrame
     pairs: DataFrame        # id_a, id_b, score, tier  (all evidence edges)
     clusters: DataFrame     # url, doc_id, cluster_id, tier, score, is_representative
-    ckpt: CheckpointManager | None
+    # the stage manager — durable (checkpoint_dir given) or in-memory
+    # (disabled; call ckpt.unpersist_all() once the output is materialized)
+    ckpt: CheckpointManager
 
 
 def run_pipeline(
@@ -300,5 +302,7 @@ def run_pipeline(
         signatures=signatures,
         pairs=edges,
         clusters=clusters,
-        ckpt=ckpt if checkpoint_dir else None,
+        # always the manager: disabled-mode callers need unpersist_all()
+        # to release the session-lifetime stage caches
+        ckpt=ckpt,
     )

@@ -55,6 +55,10 @@ class CheckpointManager:
     computed_stages: list[str] = field(default_factory=list)
     resumed_stages: list[str] = field(default_factory=list)
     _metrics: list[dict] = field(default_factory=list)
+    # stage DataFrames this manager itself persisted (disabled mode only);
+    # callers that run many pipelines in one session call unpersist_all()
+    # once the final result is materialized
+    _persisted: list[DataFrame] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.table_format not in ("parquet", "iceberg"):
@@ -63,6 +67,13 @@ class CheckpointManager:
             from duplicate_image_detector_spark.sources import iceberg
 
             iceberg.require_iceberg(self.spark)
+            if not iceberg.valid_namespace(self.base_dir):
+                raise ValueError(
+                    f"base_dir {self.base_dir!r} is not a legal Iceberg "
+                    "namespace (plain identifier, e.g. 'ckpt_db') — with "
+                    "table_format='iceberg' it names a catalog namespace, "
+                    "not a filesystem path"
+                )
 
     @property
     def _key(self) -> str:
@@ -112,6 +123,9 @@ class CheckpointManager:
             if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
                 df = df.persist(StorageLevel.MEMORY_AND_DISK)
                 df.count()
+            # track operator-persisted stages too: with no durable copy the
+            # manager owns every cache until unpersist_all()
+            self._persisted.append(df)
             return df
         path = self.stage_path(stage)
         if self.is_complete(stage):
@@ -130,10 +144,17 @@ class CheckpointManager:
             df.unpersist()
         out = self._read(stage, path)
         # per-partition (per-file) lineage counters — the distributed analog
-        # of the reference's per-run counters (ref :2744-2770)
+        # of the reference's per-run counters (ref :2744-2770).
+        # input_file_name() is empty on DataSourceV2 scans; Iceberg exposes
+        # the file through its `_file` metadata column instead.
+        file_col = (
+            F.col("_file")
+            if self.table_format == "iceberg"
+            else F.input_file_name()
+        )
         part_rows = {
             os.path.basename(r["f"]): int(r["n"])
-            for r in out.groupBy(F.input_file_name().alias("f"))
+            for r in out.groupBy(file_col.alias("f"))
             .agg(F.count("*").alias("n"))
             .collect()
         }
@@ -196,6 +217,19 @@ class CheckpointManager:
         if not os.path.exists(p):
             return None
         return self.spark.read.parquet(p)
+
+    def unpersist_all(self) -> None:
+        """Release every stage cache this manager created (disabled mode).
+
+        Call after the pipeline's final output is materialized (persisted
+        or collected) — otherwise downstream actions recompute the DAG.
+        """
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
 
     def invalidate(self, stage: str) -> None:
         if self.table_format == "iceberg":

@@ -60,19 +60,42 @@ def has_iceberg(spark: SparkSession) -> bool:
         return False
 
 
-def require_iceberg(spark: SparkSession) -> None:
+def require_iceberg(spark: SparkSession, catalog: str = CATALOG) -> None:
+    """Fail loudly and EARLY: jar on the classpath AND the catalog
+    configured — both checked at construction time, not after the first
+    stage has already been computed."""
     if not has_iceberg(spark):
         raise RuntimeError(
             "table_format='iceberg' requires the Iceberg Spark runtime jar "
             "(--packages org.apache.iceberg:iceberg-spark-runtime-...) and "
-            f"a configured '{CATALOG}' catalog (see sources/iceberg.py). "
+            f"a configured '{catalog}' catalog (see sources/iceberg.py). "
             "This environment has neither — use the parquet checkpoint "
             "format (the default)."
         )
+    if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+        raise RuntimeError(
+            f"Iceberg jar found but catalog '{catalog}' is not configured — "
+            "build the session with "
+            "get_spark(extra_conf=iceberg_conf(<warehouse>))."
+        )
+
+
+def valid_namespace(namespace: str) -> bool:
+    """True iff the string is a plain identifier Iceberg accepts unquoted.
+
+    CheckpointManager reuses its ``base_dir`` as the namespace; a caller
+    passing a filesystem PATH ('/tmp/ckpt') by habit must fail at
+    construction with a clear message, not with a mid-run ParseException.
+    """
+    import re
+
+    return re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", namespace) is not None
 
 
 def _qualify(namespace: str, table: str, catalog: str = CATALOG) -> str:
-    return f"{catalog}.{namespace}.{table}"
+    # identifiers are backtick-quoted defensively; namespace legality is
+    # enforced up front by valid_namespace
+    return f"{catalog}.`{namespace}`.`{table}`"
 
 
 def write_table(
@@ -80,7 +103,7 @@ def write_table(
 ) -> None:
     """Replace-or-create the stage table in ONE atomic snapshot commit."""
     spark = df.sparkSession
-    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.`{namespace}`")
     df.writeTo(_qualify(namespace, table, catalog)).using(
         "iceberg"
     ).createOrReplace()
@@ -91,7 +114,7 @@ def append_table(
 ) -> None:
     """Append rows, creating the table on first write (audit-log shape)."""
     spark = df.sparkSession
-    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.`{namespace}`")
     full = _qualify(namespace, table, catalog)
     if spark.catalog.tableExists(full):
         df.writeTo(full).append()
