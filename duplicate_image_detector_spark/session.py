@@ -31,6 +31,11 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # before the JVM launches: export the vendored-protobuf PYTHONPATH shim
+    # (if needed) so transformWithState's forked Python workers inherit it
+    from duplicate_image_detector_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")

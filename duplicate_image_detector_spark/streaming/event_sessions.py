@@ -25,10 +25,11 @@ CLOSED session, the streaming analog of the batch ``event_sessions`` gate
 restricted to sessions the watermark has sealed.
 
 CAPABILITY GATE: Spark's transformWithState Python runner speaks protobuf
-to its state server; this container does not ship ``google.protobuf`` (and
-installs are off), so ``event_time_sessions`` raises a clear error here
-and its tests skip.  Where protobuf exists the same wheel runs as-is.
-The tested default sessionizer remains streaming/sessions.py
+to its state server.  ``compat.ensure_protobuf`` makes a pip-installed OR
+vendored pure-Python protobuf work (driver, streaming driver worker, and
+executor workers — see compat.py); where neither exists,
+``event_time_sessions`` raises a clear error and its tests skip.  The
+default sessionizer remains streaming/sessions.py
 (``applyInPandasWithState``), whose one documented limitation (monotone
 arrival-order state) is exactly what this operator lifts.
 """
@@ -58,13 +59,12 @@ _ORDINAL_SCHEMA = "next_session long"
 
 def has_tws_support() -> bool:
     """transformWithState's Python state-server protocol requires
-    google.protobuf on the driver and workers."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    google.protobuf on the driver and workers.  ``compat.ensure_protobuf``
+    also accepts a vendored pure-Python copy (probed or via
+    DEDUP_PROTOBUF_PATH) and exports the worker-side PYTHONPATH shim."""
+    from duplicate_image_detector_spark.compat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 class _SessionProcessor(StatefulProcessor):
