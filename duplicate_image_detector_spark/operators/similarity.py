@@ -86,54 +86,97 @@ def _collect_block(df: DataFrame, id_col: str, vec_col: str):
     return ids[order], mat[order], norms[order]
 
 
+def _vec_matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _topk_partial(q_ids, q, c_ids, c_mat, c_norms, k, scale, ranked):
+    """One query batch x one corpus block -> per-query top-k rows (pandas).
+    The ONE cosine kernel shared by the broadcast single-block path and the
+    distributed cogrouped grid — bit-parity between the two paths is by
+    construction.  ``ranked=True`` emits final 1..k ranks; ``ranked=False``
+    emits rank=0 partials for a later global window merge."""
+    import pandas as pd
+
+    qn = np.linalg.norm(q, axis=1)
+    cos = (q @ c_mat.T) / (qn[:, None] * c_norms[None, :])
+    # HALF_UP away from zero (sign-aware), matching Spark round()
+    # and the DuckDB oracle on negative half-tie cosines
+    cos = _round_half_up_inplace(cos, scale)
+    # exclude self
+    self_mask = q_ids[:, None] == c_ids[None, :]
+    cos[self_mask] = -np.inf
+    # top-k by (cos desc, neighbor_id asc): ids are ascending, and
+    # stable argsort on -cos preserves id order within ties
+    kk = min(k, cos.shape[1])
+    idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+    n = len(q_ids)
+    top_cos = np.take_along_axis(cos, idx, axis=1).ravel()
+    out = pd.DataFrame(
+        {
+            "vec_id": np.repeat(q_ids, kk),
+            "neighbor_id": c_ids[idx].ravel(),
+            "cos": top_cos,
+            "rank": (
+                np.tile(np.arange(1, kk + 1, dtype=np.int32), n)
+                if ranked
+                else np.zeros(n * kk, dtype=np.int32)
+            ),
+        }
+    )
+    # -inf rows are self-matches that leaked in when the block has
+    # fewer than k vectors — never real neighbors
+    return out[out["cos"] != -np.inf]
+
+
 def _block_topk_gen(b_ids, b_mat, b_norms, id_col, vec_col, k, scale, ranked):
-    """mapInPandas generator: query batches x one broadcast corpus block ->
-    per-query top-k rows.  ``ranked=True`` emits final 1..k ranks (single-
-    block exact path); ``ranked=False`` emits rank=0 partials for a later
-    global window merge."""
+    """mapInPandas generator: query batches x one broadcast corpus block."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
         all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
         for pdf in batches:
             if len(pdf) == 0 or len(all_ids) == 0:
                 continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            q = _vec_matrix(pdf[vec_col])
+            yield _topk_partial(
+                q_ids, q, all_ids, all_mat, all_norms, k, scale, ranked
             )
-            qn = np.linalg.norm(q, axis=1)
-            cos = (q @ all_mat.T) / (qn[:, None] * all_norms[None, :])
-            # HALF_UP away from zero (sign-aware), matching Spark round()
-            # and the DuckDB oracle on negative half-tie cosines
-            cos = _round_half_up_inplace(cos, scale)
-            # exclude self
-            self_mask = q_ids[:, None] == all_ids[None, :]
-            cos[self_mask] = -np.inf
-            # top-k by (cos desc, neighbor_id asc): ids are ascending, and
-            # stable argsort on -cos preserves id order within ties
-            kk = min(k, cos.shape[1])
-            idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
-            n = len(q_ids)
-            top_cos = np.take_along_axis(cos, idx, axis=1).ravel()
-            out = pd.DataFrame(
-                {
-                    "vec_id": np.repeat(q_ids, kk),
-                    "neighbor_id": all_ids[idx].ravel(),
-                    "cos": top_cos,
-                    "rank": (
-                        np.tile(np.arange(1, kk + 1, dtype=np.int32), n)
-                        if ranked
-                        else np.zeros(n * kk, dtype=np.int32)
-                    ),
-                }
-            )
-            # -inf rows are self-matches that leaked in when the block has
-            # fewer than k vectors — never real neighbors
-            yield out[out["cos"] != -np.inf]
 
     return gen
+
+
+def _sorted_cell(pdf, id_col, vec_col):
+    """(ids, matrix, norms) for one cogroup cell, id-sorted — the executor-
+    side analog of ``_collect_block`` (same ascending-id tie order)."""
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    mat = _vec_matrix(pdf[vec_col])[order]
+    return ids[order], mat, np.linalg.norm(mat, axis=1)
+
+
+def _grid_replicate(base: DataFrame, id_col: str, n_q: int, n_c: int):
+    """Tag each row with its home block and replicate it across the other
+    axis of the (query-block x corpus-block) grid: the query side meets
+    every corpus block and vice versa, so each (query, corpus) pair shares
+    exactly ONE grid cell.  Replication is a narrow explode over a literal
+    block-id array — no join node, no broadcast, no driver loop."""
+    qb = F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.lit(n_q)).cast("int")
+    cb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_c)).cast("int")
+    q_rep = base.select(
+        "*",
+        qb.alias("qb"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_c)])).alias("cb"),
+    )
+    # the corpus side re-aliases every column: both grid sides derive from
+    # the SAME DataFrame, and without fresh attribute ids the cogroup's
+    # self-join dedup silently prunes the right side's payload columns
+    c_rep = base.select(
+        *[F.col(c).alias(c) for c in base.columns],
+        F.explode(F.array(*[F.lit(i) for i in range(n_q)])).alias("qb"),
+        cb.alias("cb"),
+    )
+    return q_rep, c_rep
 
 
 def cosine_topk(
@@ -157,13 +200,20 @@ def cosine_topk(
     ``block_rows``-sized blocks.  When the corpus fits one block, it is
     broadcast whole and each Arrow batch of query vectors does one BLAS
     matmul against it (single driver collect — the reference's own
-    operating regime).  Larger corpora never materialize on the driver at
-    once: each block is collected/broadcast in turn, per-block top-k
-    partials are computed distributed over the query side and materialized,
-    the block's executor copies are released, and a final window merge
-    takes the global top-k — exact, with driver/executor memory bounded by
-    one block (O(block_rows * d)) regardless of corpus size.
-    ``method='sql'`` keeps the pure-column-expression variant.
+    operating regime).  Larger corpora never touch the driver at all: both
+    sides are hash-tagged into blocks and replicated across a (query-block
+    x corpus-block) grid with a narrow explode, a cogrouped
+    ``applyInPandas`` runs the same NumPy kernel per grid cell — every
+    cell an independent task, no driver collect, no broadcast, no serial
+    block loop — and a final window merge takes the global top-k.  Exact;
+    executor memory bounded by two blocks (O(block_rows * d)) per task;
+    communication is the unavoidable O(n * n_blocks) replication shuffle
+    of any exact all-pairs scheme.  ``method='sql'`` keeps the
+    pure-column-expression variant.
+
+    Multi-block outputs are persisted; the caller owns the returned cache
+    (``.unpersist()`` when done — same contract as the candidate-pair
+    operators).
     """
     if method == "sql":
         return _cosine_topk_sql(emb, k, id_col, vec_col, round_digits)
@@ -188,39 +238,40 @@ def cosine_topk(
 
     from pyspark.storagelevel import StorageLevel
 
-    block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
-    partials: list[DataFrame] = []
-    for blk in range(n_blocks):
-        ids, mat, norms = _collect_block(
-            base.where(block_of == blk), id_col, vec_col
-        )
-        b_ids, b_mat, b_norms = (sc.broadcast(x) for x in (ids, mat, norms))
-        gen = _block_topk_gen(
-            b_ids, b_mat, b_norms, id_col, vec_col, k, scale, ranked=False
-        )
-        part = base.mapInPandas(gen, schema=_TOPK_SCHEMA).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        part.count()  # materialize before releasing the block broadcast
-        for bc in (b_ids, b_mat, b_norms):
-            bc.unpersist()  # executor copies freed; re-broadcastable on loss
-        partials.append(part)
+    q_rep, c_rep = _grid_replicate(base, id_col, n_blocks, n_blocks)
 
-    merged = partials[0]
-    for p in partials[1:]:
-        merged = merged.union(p)
+    def cell(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.empty(0, dtype=np.int64),
+                    "neighbor_id": np.empty(0, dtype=np.int64),
+                    "cos": np.empty(0, dtype=np.float64),
+                    "rank": np.empty(0, dtype=np.int32),
+                }
+            )
+        c_ids, c_mat, c_norms = _sorted_cell(right, id_col, vec_col)
+        q_ids = left[id_col].to_numpy(dtype=np.int64)
+        q = _vec_matrix(left[vec_col])
+        return _topk_partial(
+            q_ids, q, c_ids, c_mat, c_norms, k, scale, ranked=False
+        )
+
+    partials = (
+        q_rep.groupby("qb", "cb")
+        .cogroup(c_rep.groupby("qb", "cb"))
+        .applyInPandas(cell, schema=_TOPK_SCHEMA)
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     out = (
-        merged.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos", "rank")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # materialize the merged top-k, then release the per-block partials —
-    # without this the partial caches accumulate for the session lifetime
     out.count()
-    for p in partials:
-        p.unpersist()
     return out
 
 
@@ -264,10 +315,12 @@ def cosine_dup_pairs(
     with cosine >= threshold — the dedup-decision variant of the
     reference's thresholded all-pairs similarity (ref :1404-1421, the
     ``sscd_sim >= threshold`` test at :1506-1511), distributed the same way
-    as ``cosine_topk``: corpus side in broadcast blocks, query side
-    streamed through a NumPy matmul, so no driver materialization of the
-    full matrix and no quadratic Spark join.  Output is one row per
-    unordered pair (emitted only from the query row with the smaller id).
+    as ``cosine_topk``: single-block corpora are broadcast against Arrow
+    query batches; larger corpora run the same NumPy kernel per cell of a
+    cogrouped (query-block x corpus-block) grid — no driver collect, no
+    serial block loop.  Output is one row per unordered pair (each pair
+    shares exactly one grid cell and is emitted from the side with the
+    smaller id), so no merge or dedup stage is needed after the kernel.
     """
     scale = 10.0 ** round_digits
     sc = emb.sparkSession.sparkContext
@@ -275,62 +328,62 @@ def cosine_dup_pairs(
     n = base.count()
     # 0.8 safety factor: hash blocks are statistical, see cosine_topk
     n_blocks = max(1, -(-n // max(1, int(block_rows * 0.8))))
-    block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
 
-    from pyspark.storagelevel import StorageLevel
+    def _pairs_of(q_ids, q, c_ids, c_mat, c_norms):
+        import pandas as pd
 
-    def pair_gen(b_ids, b_mat, b_norms):
+        qn = np.linalg.norm(q, axis=1)
+        cos = (q @ c_mat.T) / (qn[:, None] * c_norms[None, :])
+        cos = _round_half_up_inplace(cos, scale)
+        hit = (cos >= threshold) & (q_ids[:, None] < c_ids[None, :])
+        qi, ci = np.nonzero(hit)
+        return pd.DataFrame(
+            {"id_a": q_ids[qi], "id_b": c_ids[ci], "cos": cos[qi, ci]}
+        )
+
+    pair_schema = "id_a bigint, id_b bigint, cos double"
+
+    if n_blocks == 1:
+        b_ids, b_mat, b_norms = (
+            sc.broadcast(x) for x in _collect_block(base, id_col, vec_col)
+        )
+
         def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            import pandas as pd
-
-            all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+            all_ids, all_mat, all_norms = (
+                b_ids.value, b_mat.value, b_norms.value,
+            )
             for pdf in batches:
                 if len(pdf) == 0 or len(all_ids) == 0:
                     continue
                 q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-                q = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                qn = np.linalg.norm(q, axis=1)
-                cos = (q @ all_mat.T) / (qn[:, None] * all_norms[None, :])
-                cos = _round_half_up_inplace(cos, scale)
-                hit = (cos >= threshold) & (q_ids[:, None] < all_ids[None, :])
-                qi, ci = np.nonzero(hit)
-                yield pd.DataFrame(
-                    {
-                        "id_a": q_ids[qi],
-                        "id_b": all_ids[ci],
-                        "cos": cos[qi, ci],
-                    }
+                yield _pairs_of(
+                    q_ids, _vec_matrix(pdf[vec_col]), all_ids, all_mat, all_norms
                 )
 
-        return gen
+        return base.mapInPandas(gen, schema=pair_schema)
 
-    parts: list[DataFrame] = []
-    for blk in range(n_blocks):
-        src = base if n_blocks == 1 else base.where(block_of == blk)
-        ids, mat, norms = _collect_block(src, id_col, vec_col)
-        b_ids, b_mat, b_norms = (sc.broadcast(x) for x in (ids, mat, norms))
-        part = base.mapInPandas(
-            pair_gen(b_ids, b_mat, b_norms),
-            schema="id_a bigint, id_b bigint, cos double",
-        )
-        if n_blocks > 1:
-            part = part.persist(StorageLevel.MEMORY_AND_DISK)
-            part.count()  # materialize before releasing the block broadcast
-            for bc in (b_ids, b_mat, b_norms):
-                bc.unpersist()
-        parts.append(part)
+    q_rep, c_rep = _grid_replicate(base, id_col, n_blocks, n_blocks)
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    if n_blocks > 1:
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()  # materialize, then release the per-block partials
-        for p in parts:
-            p.unpersist()
-    return out
+    def cell(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": np.empty(0, dtype=np.int64),
+                    "id_b": np.empty(0, dtype=np.int64),
+                    "cos": np.empty(0, dtype=np.float64),
+                }
+            )
+        c_ids, c_mat, c_norms = _sorted_cell(right, id_col, vec_col)
+        q_ids = left[id_col].to_numpy(dtype=np.int64)
+        return _pairs_of(q_ids, _vec_matrix(left[vec_col]), c_ids, c_mat, c_norms)
+
+    return (
+        q_rep.groupby("qb", "cb")
+        .cogroup(c_rep.groupby("qb", "cb"))
+        .applyInPandas(cell, schema=pair_schema)
+    )
 
 
 def lsh_buckets(
