@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Iterator
+from html.parser import HTMLParser
 from typing import TYPE_CHECKING
 
 from pyspark.sql import Column
@@ -39,7 +40,6 @@ _PY_TOKEN_SPLIT = re.compile(TOKEN_SPLIT_REGEX)
 # 1.6x on the signature hot path; equivalence fuzzed in
 # tests/test_tokenizer_fuzz.py)
 _PY_TOKEN_FIND = re.compile(r"[a-z0-9]+")
-_PY_PARAGRAPH = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 
 
 # ---------------------------------------------------------------------------
@@ -91,10 +91,96 @@ def py_shingles(words: list[str], k: int) -> set[str]:
 # HTML -> text extraction (mapInPandas)
 # ---------------------------------------------------------------------------
 
+# content inside these elements is never text (script/style payloads,
+# invisible templates); ``head`` is handled separately (auto-closed)
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "template"})
+# elements that terminate the current paragraph; inline markup (<b>, <a>,
+# <span>, ...) does NOT split text
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th",
+        "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+        "section", "article", "header", "footer", "nav", "aside", "form",
+        "hr", "dl", "dt", "dd", "figure", "figcaption", "main", "body",
+    }
+)
+
+
+class _TextExtractor(HTMLParser):
+    """Tolerant HTML -> paragraph extractor (stdlib parser, no deps).
+
+    Semantics (deterministic, documented — the cross-row invariant the
+    fixture generator and tests hold the engine to):
+      * character/entity references decoded (``convert_charrefs=True``);
+      * comments, processing instructions, and everything inside
+        ``_SKIP_TAGS`` dropped;
+      * ``head`` content dropped; a missing ``</head>`` is auto-closed at
+        ``<body>`` (browser behavior, survives truncated markup);
+      * block-element boundaries split paragraphs; inline tags don't;
+      * within a paragraph, whitespace runs (incl. NBSP) collapse to one
+        space; paragraphs join with ``\\n``.
+    Unclosed/mis-nested tags never raise — HTMLParser is tolerant and the
+    skip state is depth-counted per tag name.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._in_head = False
+        self._buf: list[str] = []
+        self.paragraphs: list[str] = []
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._buf).split())
+        if text:
+            self.paragraphs.append(text)
+        self._buf.clear()
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "head":
+            self._in_head = True
+        elif tag == "body":
+            self._in_head = False  # auto-close a dangling <head>
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "head":
+            self._in_head = False
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip and not self._in_head:
+            self._buf.append(data)
+
+
+def py_decode_html(html: bytes) -> str:
+    """3-fallback decode chain, mirroring the reference's metadata
+    extraction fallbacks (ref :647-680): strict utf-8, then cp1252 (the
+    de-facto web superset of latin-1), then latin-1 with replacement —
+    the last never fails, so decode errors can't kill a partition."""
+    for enc, errors in (("utf-8", "strict"), ("cp1252", "strict")):
+        try:
+            return html.decode(enc, errors)
+        except (UnicodeDecodeError, ValueError):
+            continue
+    return html.decode("latin-1", "replace")
+
+
 def py_extract_text(html: bytes) -> str:
     """Pure function of the html bytes; must equal the table's ``text``
-    column byte-for-byte (fixture generator writes both from one source)."""
-    return "\n".join(_PY_PARAGRAPH.findall(html.decode("utf-8")))
+    column byte-for-byte (fixture generator writes both from one source;
+    adversarial-markup tests in tests/test_text.py)."""
+    parser = _TextExtractor()
+    parser.feed(py_decode_html(html))
+    parser.close()
+    parser._flush()  # text after the last block boundary
+    return "\n".join(parser.paragraphs)
 
 
 EXTRACT_SCHEMA = "url string, text string"

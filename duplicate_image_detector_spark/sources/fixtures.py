@@ -63,10 +63,28 @@ def _substitute(rng: random.Random, paragraphs: list[str], rate: float, vocab: l
 
 
 def _html(title: str, paragraphs: list[str]) -> bytes:
-    body = "".join(f"<p>{p}</p>" for p in paragraphs)
+    """Realistic page chrome around the paragraphs: doctype, head with
+    title/style, comments, an inline-markup lead word, and a script blob in
+    the body — everything the extractor must strip or decode to honor the
+    byte-identity invariant (text == extract(html))."""
+    import html as _h
+
+    parts = []
+    for i, p in enumerate(paragraphs):
+        esc = _h.escape(p)
+        if i % 3 == 0 and " " in esc:
+            head, rest = esc.split(" ", 1)
+            esc = f"<b>{head}</b> {rest}"
+        parts.append(f"<p>{esc}</p>")
+    body = "".join(parts)
     return (
-        f"<html><head><title>{title}</title></head>"
-        f"<body>{body}</body></html>"
+        "<!DOCTYPE html>"
+        f"<html><head><title>{_h.escape(title)}</title>"
+        "<style>p { margin: 0 }</style>"
+        '<meta charset="utf-8"></head>'
+        "<body><!-- rendered by fixture generator -->"
+        '<script type="text/javascript">var x = "<p>not text</p>";</script>'
+        f"{body}</body></html>"
     ).encode("utf-8")
 
 
