@@ -164,13 +164,21 @@ _VERIFIED_CACHE: dict[str, DataFrame] = {}
 
 
 def _verified_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates + exact-Jaccard verify, shared by three gates."""
+    """The near-tier admission rule, shared by three gates: candidates from
+    LSH buckets (Jaccard arm) UNION exact pigeonhole Hamming pairs
+    (Hamming arm), verified with jaccard >= t OR hamming <= d — the same
+    rule the DuckDB _NEAR_PAIRS oracle states in SQL."""
     from pyspark.storagelevel import StorageLevel
 
     df = _VERIFIED_CACHE.get(sf_dir)
     if not _fresh(df, spark):
         sig = _sig_gate(spark, sf_dir)
-        cands = lsh_candidate_pairs(sig, CFG_GATE)
+        ham = simhash_hamming_pairs(sig.select("doc_id", "simhash"), CFG)
+        cands = (
+            lsh_candidate_pairs(sig, CFG_GATE)
+            .unionByName(ham.select("id_a", "id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
         df = verify_pairs(cands, sig, CFG_GATE).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -759,27 +767,79 @@ def _shingles_cte(k: int = 5) -> str:
     return _SHINGLES.format(km1=k - 1, km2=k - 2, k=k)
 
 
-def _jaccard_pairs_sql(threshold: float = 0.86) -> str:
-    return f"""
-WITH words AS ({_words_cte()}),
-sh AS ({_shingles_cte()}),
+# un-thresholded exact-Jaccard CTE chain (words -> shingles -> inverted
+# index -> per-pair intersection -> allj) — composed into the pair, CC,
+# and pipeline oracles below
+_ALLJ_CTES = """words AS ({words}),
+sh AS ({shingles}),
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, len(s) AS n FROM sh)
-SELECT id_a, id_b,
-       ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= {threshold}
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+allj AS (
+  SELECT id_a, id_b, ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)"""
+
+# SimHash (md5-60bit base hash) + Hamming <= {d} pair CTE chain; assumes a
+# prior ``sh`` CTE (shingles)
+_HP_CTES = """hx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM hx),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hh, (SELECT unnest(range(60)) AS j)
+  GROUP BY doc_id, j
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+hp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {d}
+)"""
+
+
+def _allj_ctes() -> str:
+    return _ALLJ_CTES.format(words=_words_cte(), shingles=_shingles_cte())
+
+
+def _hp_ctes(d: int = 3) -> str:
+    return _HP_CTES.format(d=d)
+
+
+def _jaccard_pairs_sql(threshold: float = 0.86) -> str:
+    return f"""
+WITH {_allj_ctes()}
+SELECT id_a, id_b, jaccard FROM allj WHERE jaccard >= {threshold}
+"""
+
+
+# the NEAR-tier admission rule (SURVEY §7.0 pinned config): exact Jaccard
+# >= threshold OR SimHash Hamming <= simhash_hamming_max.  Hamming-admitted
+# pairs report their exact Jaccard (0 when no shingle is shared).
+def _near_pairs_sql(threshold: float = 0.86, d: int = 3) -> str:
+    return f"""
+WITH {_allj_ctes()},
+{_hp_ctes(d)}
+SELECT id_a, id_b, jaccard FROM allj WHERE jaccard >= {threshold}
+UNION
+SELECT h.id_a, h.id_b, coalesce(a.jaccard, 0.0::DOUBLE) AS jaccard
+FROM hp h LEFT JOIN allj a ON a.id_a = h.id_a AND a.id_b = h.id_b
 """
 
 
 _JACCARD_PAIRS = _jaccard_pairs_sql()
+_NEAR_PAIRS = _near_pairs_sql()
 
 _INTEGRATED_SQL = f"""
 WITH jp AS ({_jaccard_pairs_sql(0.8)}),
@@ -804,8 +864,17 @@ WHERE (metadata_match = 1.0 AND jaccard >= 0.90::DOUBLE)
    OR (0.85::DOUBLE * jaccard + 0.15::DOUBLE * metadata_match >= 0.88::DOUBLE)
 """
 
+# CTEs are laid FLAT under WITH RECURSIVE: DuckDB mis-scopes a nested WITH
+# inside a recursive CTE body (allj becomes unresolvable), so the near-pair
+# union is expressed over the shared flat fragments instead
 _CC_SQL = f"""
-WITH RECURSIVE jp AS ({_JACCARD_PAIRS}),
+WITH RECURSIVE {_allj_ctes()},
+{_hp_ctes(3)},
+jp AS (
+  SELECT id_a, id_b FROM allj WHERE jaccard >= 0.86
+  UNION
+  SELECT id_a, id_b FROM hp
+),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM jp
   UNION
@@ -823,23 +892,8 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
 _SIMHASH_SQL = f"""
 WITH words AS ({_words_cte()}),
 sh AS ({_shingles_cte()}),
-hx AS (SELECT doc_id, unnest(s) AS g FROM sh),
-hh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM hx),
-bits AS (
-  SELECT doc_id, j,
-         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM hh, (SELECT unnest(range(60)) AS j)
-  GROUP BY doc_id, j
-),
-sim AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+{_hp_ctes(3)}
+SELECT id_a, id_b, hamming FROM hp
 """
 
 _SUBSTRING_SQL = """
@@ -854,10 +908,16 @@ FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
 """
 
 # full-pipeline oracle: CC over the union of all three evidence tiers —
-# byte-identical text (exact), shingle-Jaccard >= 0.86 (near), and a shared
-# 400-char window (substring)
+# byte-identical text (exact), the near admission rule (exact Jaccard >=
+# 0.86 OR SimHash Hamming <= 3), and a shared 400-char window (substring)
 _PIPELINE_CC_SQL = f"""
-WITH RECURSIVE jp AS ({_JACCARD_PAIRS}),
+WITH RECURSIVE {_allj_ctes()},
+{_hp_ctes(3)},
+jp AS (
+  SELECT id_a, id_b FROM allj WHERE jaccard >= 0.86
+  UNION
+  SELECT id_a, id_b FROM hp
+),
 d AS (
   SELECT doc_id, text FROM documents
   WHERE text IS NOT NULL AND length(text) >= 50
@@ -1030,7 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_clusters": _EXACT_SQL,
         "exact_prefix_clusters": _EXACT_PREFIX_SQL,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
-        "minhash_lsh_pairs": _JACCARD_PAIRS,
+        "minhash_lsh_pairs": _NEAR_PAIRS,
         "near_dup_clusters": _CC_SQL,
         "near_dup_clusters_id128": _CC_SQL,
         "pipeline_clusters": _PIPELINE_CC_SQL,

@@ -52,12 +52,21 @@ def score_pairs(pairs: DataFrame, sig: DataFrame, cfg: PipelineConfig) -> DataFr
 
 
 def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Candidates -> verified near-dup pairs (jaccard >= threshold).
+    """Candidates -> verified near-dup pairs.
 
-    Output: (id_a, id_b, jaccard, hamming, tier='near').  The threshold is
-    the reference's sscd_threshold 0.86 (ref :391) applied to exact Jaccard.
+    Admission rule (SURVEY §7.0 pinned config): exact Jaccard >=
+    ``cfg.jaccard_threshold`` OR SimHash Hamming distance <=
+    ``cfg.simhash_hamming_max`` ("near-exact") — the OR arm admits
+    near-identical docs whose Jaccard dips below the threshold (e.g. short
+    docs where one substitution moves k shingles).  The Jaccard threshold
+    is the reference's sscd_threshold 0.86 (ref :391); the candidate set
+    must cover both arms (LSH buckets for Jaccard, pigeonhole banding for
+    Hamming — ``plans/pipeline.py`` unions them).
+
+    Output: (id_a, id_b, jaccard, hamming, tier='near').
     """
     scored = score_pairs(pairs, sig, cfg)
-    return scored.where(F.col("jaccard") >= cfg.jaccard_threshold).select(
-        "*", F.lit("near").alias("tier")
-    )
+    return scored.where(
+        (F.col("jaccard") >= cfg.jaccard_threshold)
+        | (F.col("hamming") <= cfg.simhash_hamming_max)
+    ).select("*", F.lit("near").alias("tier"))

@@ -194,9 +194,35 @@ def run_pipeline(
         ),
     )
 
-    candidates = ckpt.run(
-        "candidates", lambda: lsh_candidate_pairs(signatures, cfg)
-    )
+    def _candidates() -> DataFrame:
+        # near-tier candidates cover BOTH admission arms (verify.py): LSH
+        # band buckets for the Jaccard arm, SimHash pigeonhole banding for
+        # the Hamming arm.  Both generators are sub-quadratic and
+        # bucket-capped; their union is deduped once here.  The operator-
+        # level caches are released after the union is materialized — the
+        # stage itself is persisted/checkpointed by the manager.
+        from pyspark.storagelevel import StorageLevel
+
+        from duplicate_image_detector_spark.operators.simhash import (
+            simhash_hamming_pairs,
+        )
+
+        lshc = lsh_candidate_pairs(signatures, cfg)
+        ham = simhash_hamming_pairs(
+            signatures.select("doc_id", "simhash"), cfg,
+            max_bucket=cfg.max_bucket,
+        )
+        out = (
+            lshc.unionByName(ham.select("id_a", "id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        out.count()
+        lshc.unpersist()
+        ham.unpersist()
+        return out
+
+    candidates = ckpt.run("candidates", _candidates)
 
     def _shingle_sets() -> DataFrame:
         # shingle sets exist only for candidate docs (ref re-reads pixels in
