@@ -45,6 +45,32 @@ def test_fingerprints_no_false_sharing():
     assert not (f1 & f2)
 
 
+def test_anchored_span_matches_automaton():
+    """The anchored-extension verifier agrees with the exact suffix-
+    automaton LCS whenever the optimal span contains a selected gram —
+    the stage's own sampling guarantee (misses are the budgeted
+    (1-1/s)^(L-k+1) event, not an algorithmic error)."""
+    from duplicate_image_detector_spark.operators.substring import (
+        py_anchored_span,
+        py_select_fingerprint_positions,
+    )
+
+    cfg = PipelineConfig()
+    k, mod = cfg.substring_gram, cfg.substring_mod
+    rng = random.Random(9)
+
+    def rnd(n, alpha="abcdefghij "):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    for _ in range(25):
+        span = rnd(rng.randrange(380, 1500))
+        ta = rnd(rng.randrange(500, 3000)) + span + rnd(rng.randrange(0, 2000))
+        tb = rnd(rng.randrange(0, 2000)) + span + rnd(rng.randrange(500, 3000))
+        fa = py_select_fingerprint_positions(ta, k, mod)
+        fb = py_select_fingerprint_positions(tb, k, mod)
+        assert py_anchored_span(ta, tb, fa, fb, k) == py_longest_common_substring(ta, tb)
+
+
 def test_substring_pairs_end_to_end(spark, cfg):
     rng = random.Random(3)
     span = " ".join(f"tok{rng.randrange(5000):04d}" for _ in range(80))
