@@ -66,17 +66,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark queries
 # ---------------------------------------------------------------------------
 
-def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_clusters(_docs(spark, sf_dir), CFG).select(
-        "doc_id", "cluster_id", "tier"
-    )
+def q_exact_canon_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tier under a CANONICALIZED sha256 key: tokenize (M4), take the
+    first 40 tokens, re-join, sha256 (M3) — "same lead content" grouping.
+    This key collides in the driver fixture (25 member rows at sf0.01), so
+    the sha256 codepath is driver-checked NON-vacuously; byte-identical
+    full-text grouping (the same plan with key = sha256(text)) is covered
+    by the pipeline gates and the F1-family golden tests, where exact
+    duplicates actually exist."""
+    from duplicate_image_detector_spark.functions.text import words_col
+
+    canon = F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 40))
+    return exact_clusters(
+        _docs(spark, sf_dir),
+        CFG,
+        key_col=F.sha2(canon, 256),
+        tier="exact_canon",
+    ).select("doc_id", "cluster_id", "tier")
 
 
 def q_exact_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-vacuous exact-tier gate: the same groupBy-stats + join-back plan
-    as exact_dup_clusters, keyed on the first-100-char text prefix — a key
-    that DOES collide in the driver fixture (byte-identical full texts do
-    not exist there, so the sha256 gate passes on 0 = 0 rows)."""
+    as the sha256 tiers, keyed on the first-100-char text prefix — a key
+    that collides in the driver fixture (45 member rows at sf0.01)."""
     return exact_clusters(
         _docs(spark, sf_dir),
         CFG,
@@ -702,7 +714,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "exact_dup_clusters": q_exact_dup_clusters,
+        "exact_canon_clusters": q_exact_canon_clusters,
         "exact_prefix_clusters": q_exact_prefix_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1012,13 +1024,17 @@ SELECT vec_id, neighbor_id, cos, rank FROM (
 ) WHERE rank <= 5
 """
 
-_EXACT_SQL = """
+_EXACT_CANON_SQL = f"""
+WITH words AS ({_words_cte(minlen=0)}),
+keyed AS (
+  SELECT doc_id, sha256(array_to_string(w[1:40], ' ')) AS k FROM words
+)
 SELECT doc_id, cluster_id, tier FROM (
   SELECT doc_id,
-         min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id,
-         count(*) OVER (PARTITION BY sha256(text)) AS n,
-         'exact' AS tier
-  FROM documents WHERE text IS NOT NULL
+         min(doc_id) OVER (PARTITION BY k) AS cluster_id,
+         count(*) OVER (PARTITION BY k) AS n,
+         'exact_canon' AS tier
+  FROM keyed
 ) WHERE n >= 2
 """
 
@@ -1087,7 +1103,7 @@ FROM sess GROUP BY user_id, session_id
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "exact_dup_clusters": _EXACT_SQL,
+        "exact_canon_clusters": _EXACT_CANON_SQL,
         "exact_prefix_clusters": _EXACT_PREFIX_SQL,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
         "minhash_lsh_pairs": _NEAR_PAIRS,

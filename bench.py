@@ -110,7 +110,7 @@ def run_default() -> None:
             clusters.unpersist()
 
     timed("cluster_store", store_flow)
-    timed("exact_dup_clusters", lambda: E.q_exact_dup_clusters(spark, sf_dir).count())
+    timed("exact_canon_clusters", lambda: E.q_exact_canon_clusters(spark, sf_dir).count())
     timed("minhash_lsh_pairs", lambda: E.q_minhash_lsh_pairs(spark, sf_dir).count())
     timed("near_dup_clusters", lambda: E.q_near_dup_clusters(spark, sf_dir).count())
     timed("ngram_jaccard_pairs", lambda: E.q_ngram_jaccard_pairs(spark, sf_dir).count())

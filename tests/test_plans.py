@@ -38,7 +38,7 @@ def test_codegen_covers_column_gates(spark):
     assert "*(" in _plan(E.q_binary_meta(spark, SF_DIR))
     # AQE gates must be EXECUTED (collect on the same query execution)
     # before the final plan — with its codegen spans — exists
-    for q in (E.q_exact_dup_clusters, E.q_tpch_q1):
+    for q in (E.q_exact_canon_clusters, E.q_tpch_q1):
         df = q(spark, SF_DIR)
         df.collect()
         p = _plan(df)
@@ -49,7 +49,7 @@ def test_codegen_covers_column_gates(spark):
 # heavyweight dedup gates have dedicated no-cartesian asserts in
 # tests/test_ngram_simhash.py
 _CHEAP = [
-    "exact_dup_clusters",
+    "exact_canon_clusters",
     "doc_fingerprint",
     "lang_id",
     "token_stats",
