@@ -68,8 +68,6 @@ def run_default() -> None:
     _clusters_holder: list = []
 
     def flagship() -> None:
-        from pyspark.storagelevel import StorageLevel
-
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         pages = docs.select(
             F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text"
@@ -78,9 +76,15 @@ def run_default() -> None:
             spark, pages, PipelineConfig(), enable_substring=True
         )
         meta["n_docs"] = docs.count()
-        clusters = res.clusters.persist(StorageLevel.MEMORY_AND_DISK)
-        meta["n_clustered"] = clusters.count()
-        _clusters_holder.append(clusters)
+        # snapshot the (small) clusters table to the driver, then release
+        # ALL ~10 stage caches the disabled checkpoint manager created —
+        # otherwise they stay resident through every later timed query,
+        # undercutting the cold-cache-per-query discipline.  store_flow
+        # reads the snapshot, so nothing recomputes the pipeline DAG.
+        clusters_pdf = res.clusters.toPandas()
+        meta["n_clustered"] = len(clusters_pdf)
+        res.ckpt.unpersist_all()
+        _clusters_holder.append(spark.createDataFrame(clusters_pdf))
 
     timed("dedup_pipeline", flagship)
 
@@ -107,7 +111,7 @@ def run_default() -> None:
                 )
         finally:
             shutil.rmtree(store_dir, ignore_errors=True)
-            clusters.unpersist()
+            _clusters_holder.clear()  # local-relation snapshot, no cache
 
     timed("cluster_store", store_flow)
     timed("exact_canon_clusters", lambda: E.q_exact_canon_clusters(spark, sf_dir).count())

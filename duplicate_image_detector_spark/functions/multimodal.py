@@ -65,6 +65,15 @@ def has_pil() -> bool:
         return False
 
 
+def has_cv2() -> bool:
+    try:
+        import cv2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _resolve_codec(codec: str, video: bool = False) -> str:
     """'auto' -> the best codec importable HERE (driver side — local mode
     shares the env with workers; on a real cluster ship the probe result
@@ -244,13 +253,42 @@ def sample_frames(
     codec: str = "stub",
 ) -> DataFrame:
     """(url, media binary) -> one row per sampled frame (url, frame_idx,
-    frame binary) — the video frame-sampling stage.  The fake codec treats
-    the payload as consecutive ``frame_bytes`` chunks and keeps every
-    ``every_n``-th up to ``max_frames``; the production slot is ffmpeg/cv2
-    keyframe extraction (the one stage with no real codec here — Pillow is
-    image-only).  Output explodes rows, so the stage runs BEFORE
-    any shuffle of the (large) media column — downstream operators see
-    only the (small) sampled frames."""
+    frame binary) — the video frame-sampling stage.  ``codec='auto'``
+    resolves to cv2 when importable (every ``every_n``-th decoded frame,
+    PNG-re-encoded, up to ``max_frames``), else the loud stub; the fake
+    codec treats the payload as consecutive ``frame_bytes`` chunks with
+    the same sampling rule.  Output explodes rows, so the stage runs
+    BEFORE any shuffle of the (large) media column — downstream operators
+    see only the (small) sampled frames."""
+    codec = _resolve_codec(codec, video=True)
+
+    def cv2_frames(raw: bytes) -> list[tuple[int, bytes]]:
+        import os
+        import tempfile
+
+        import cv2
+
+        # cv2.VideoCapture reads from a path, not a buffer
+        with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as fh:
+            fh.write(raw)
+            path = fh.name
+        out: list[tuple[int, bytes]] = []
+        try:
+            cap = cv2.VideoCapture(path)
+            idx = 0
+            while len(out) < max_frames:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if idx % every_n == 0:
+                    ok2, buf = cv2.imencode(".png", frame)
+                    if ok2:
+                        out.append((idx, buf.tobytes()))
+                idx += 1
+            cap.release()
+        finally:
+            os.unlink(path)
+        return out
 
     def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
@@ -260,18 +298,21 @@ def sample_frames(
             if blob is None:
                 continue
             try:
-                _, _, payload = py_decode_fake(bytes(blob))
+                if codec == "cv2":
+                    sampled = cv2_frames(bytes(blob))
+                else:
+                    _, _, payload = py_decode_fake(bytes(blob))
+                    n = len(payload) // frame_bytes
+                    sampled = [
+                        (i, payload[i * frame_bytes : (i + 1) * frame_bytes])
+                        for i in range(0, n, every_n)
+                    ][:max_frames]
             except Exception:
                 continue
-            n = len(payload) // frame_bytes
-            taken = 0
-            for i in range(0, n, every_n):
-                if taken >= max_frames:
-                    break
+            for i, frame in sampled:
                 urls.append(url)
                 idxs.append(i)
-                frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes])
-                taken += 1
+                frames.append(frame)
         return pd.DataFrame(
             {
                 "url": urls,
@@ -281,7 +322,9 @@ def sample_frames(
         )
 
     return _media_stage(
-        media_df, ("url", "media"), codec, "frame sampling", batch, FRAMES_SCHEMA
+        media_df, ("url", "media"), codec, "frame sampling", batch,
+        FRAMES_SCHEMA,
+        supported=("fake", "cv2") if has_cv2() else ("fake",),
     )
 
 

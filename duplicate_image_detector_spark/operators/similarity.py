@@ -463,6 +463,10 @@ def ann_lsh_topk(
     are near-interchangeable neighbors, so recall impact is minimal and is
     covered by the recall test.  At 10^9+ vectors also raise ``n_bits``
     (expected bucket size scales with n / 2^n_bits).
+
+    The returned DataFrame is persisted and the caller owns that cache
+    (``.unpersist()`` when done); internal candidate caches are released
+    before returning.
     """
     buckets = lsh_buckets(emb, n_tables, n_bits, seed, id_col, vec_col)
     stats = (
@@ -495,7 +499,15 @@ def ann_lsh_topk(
     )
     cands.count()
     multi.unpersist()
-    return _rerank_topk(cands, emb, k, id_col, vec_col, round_digits)
+    # materialize the re-ranked top-k, then drop the candidate cache — the
+    # CALLER owns the returned cache (.unpersist() when done); nothing
+    # internal is left persisted
+    out = _rerank_topk(cands, emb, k, id_col, vec_col, round_digits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out.count()
+    cands.unpersist()
+    return out
 
 
 def ann_ivf_topk(
@@ -528,6 +540,10 @@ def ann_ivf_topk(
     centroid-id join is hash-partitioned; cell sizes concentrate around
     n/n_centroids (k-means balances far better than LSH buckets), and AQE's
     skew split handles residual imbalance.  Recall measured in tests.
+
+    The returned DataFrame is persisted and the caller owns that cache
+    (``.unpersist()`` when done); internal assignment/candidate caches are
+    released before returning.
     """
     rng_sample = emb.select(id_col, vec_col)
     n = rng_sample.count()
@@ -607,7 +623,13 @@ def ann_ivf_topk(
     )
     cands.count()
     assigned.unpersist()
-    return _rerank_topk(cands, emb, k, id_col, vec_col, round_digits)
+    # caller owns the returned cache; the candidate cache is dropped here
+    out = _rerank_topk(cands, emb, k, id_col, vec_col, round_digits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out.count()
+    cands.unpersist()
+    return out
 
 
 def _rerank_topk(
