@@ -146,12 +146,19 @@ class CheckpointManager:
         # per-partition (per-file) lineage counters — the distributed analog
         # of the reference's per-run counters (ref :2744-2770).
         # input_file_name() is empty on DataSourceV2 scans; Iceberg exposes
-        # the file through its `_file` metadata column instead.
-        file_col = (
-            F.col("_file")
-            if self.table_format == "iceberg"
-            else F.input_file_name()
-        )
+        # the file through its `_file` metadata column instead.  A
+        # test-double V2 catalog (catalog_provider None) has no `_file`
+        # column — lineage degrades to a single whole-table counter there.
+        if self.table_format == "iceberg":
+            from duplicate_image_detector_spark.sources import iceberg
+
+            file_col = (
+                F.col("_file")
+                if iceberg.catalog_provider(self.spark) == "iceberg"
+                else F.lit("catalog")
+            )
+        else:
+            file_col = F.input_file_name()
         part_rows = {
             os.path.basename(r["f"]): int(r["n"])
             for r in out.groupBy(file_col.alias("f"))

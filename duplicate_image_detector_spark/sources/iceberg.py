@@ -60,23 +60,40 @@ def has_iceberg(spark: SparkSession) -> bool:
         return False
 
 
+def catalog_provider(spark: SparkSession, catalog: str = CATALOG) -> str | None:
+    """``'iceberg'`` when the configured ``catalog`` is the Iceberg
+    SparkCatalog; ``None`` for any OTHER configured V2 catalog — the
+    write path then goes through that catalog's default table provider.
+    The None arm is what lets the identical write/read/exists/resume code
+    execute against a jar-free test-double catalog (tests use Spark's
+    built-in JDBCTableCatalog over embedded Derby); snapshot-commit
+    atomicity is then whatever that catalog provides."""
+    cls = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    return "iceberg" if cls == _CATALOG_CLASS else None
+
+
 def require_iceberg(spark: SparkSession, catalog: str = CATALOG) -> None:
-    """Fail loudly and EARLY: jar on the classpath AND the catalog
-    configured — both checked at construction time, not after the first
-    stage has already been computed."""
-    if not has_iceberg(spark):
+    """Fail loudly and EARLY — at construction time, not after the first
+    stage has already been computed.  Accepts either the real Iceberg
+    catalog (jar must be on the classpath) or any other configured V2
+    catalog under the same name (test-double mode, see
+    ``catalog_provider``)."""
+    cls = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    if cls is None:
         raise RuntimeError(
-            "table_format='iceberg' requires the Iceberg Spark runtime jar "
-            "(--packages org.apache.iceberg:iceberg-spark-runtime-...) and "
-            f"a configured '{catalog}' catalog (see sources/iceberg.py). "
+            "table_format='iceberg' requires a configured "
+            f"'{catalog}' catalog — build the session with "
+            "get_spark(extra_conf=iceberg_conf(<warehouse>)) and the "
+            "Iceberg Spark runtime jar "
+            "(--packages org.apache.iceberg:iceberg-spark-runtime-...). "
             "This environment has neither — use the parquet checkpoint "
             "format (the default)."
         )
-    if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+    if cls == _CATALOG_CLASS and not has_iceberg(spark):
         raise RuntimeError(
-            f"Iceberg jar found but catalog '{catalog}' is not configured — "
-            "build the session with "
-            "get_spark(extra_conf=iceberg_conf(<warehouse>))."
+            f"catalog '{catalog}' is configured as Iceberg but the runtime "
+            "jar is not on the classpath "
+            "(--packages org.apache.iceberg:iceberg-spark-runtime-...)."
         )
 
 
@@ -101,12 +118,19 @@ def _qualify(namespace: str, table: str, catalog: str = CATALOG) -> str:
 def write_table(
     df: DataFrame, namespace: str, table: str, catalog: str = CATALOG
 ) -> None:
-    """Replace-or-create the stage table in ONE atomic snapshot commit."""
+    """Replace-or-create the stage table in ONE atomic snapshot commit.
+
+    The ``USING iceberg`` clause is attached only when the catalog IS
+    Iceberg (``catalog_provider``); a test-double V2 catalog writes with
+    its own default provider — same code path, same commit semantics
+    surface."""
     spark = df.sparkSession
     spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.`{namespace}`")
-    df.writeTo(_qualify(namespace, table, catalog)).using(
-        "iceberg"
-    ).createOrReplace()
+    wt = df.writeTo(_qualify(namespace, table, catalog))
+    provider = catalog_provider(spark, catalog)
+    if provider:
+        wt = wt.using(provider)
+    wt.createOrReplace()
 
 
 def append_table(
@@ -119,7 +143,11 @@ def append_table(
     if spark.catalog.tableExists(full):
         df.writeTo(full).append()
     else:
-        df.writeTo(full).using("iceberg").create()
+        wt = df.writeTo(full)
+        provider = catalog_provider(spark, catalog)
+        if provider:
+            wt = wt.using(provider)
+        wt.create()
 
 
 def drop_table(
