@@ -170,9 +170,17 @@ def fingerprint_docs(
                 for fp in py_select_fingerprints(str(text), k, mod):
                     ids.append(doc_id)
                     fps.append(fp)
+            # int64 ids stay an int64 Series (object dtype would box every
+            # id on the default 64-bit path); struct ids arrive as dicts
+            # and need the object dtype
+            id_dtype = (
+                "int64"
+                if pdf["doc_id"].dtype.kind in "iu"
+                else "object"
+            )
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="object"),
+                    "doc_id": pd.Series(ids, dtype=id_dtype),
                     "fp": pd.Series(fps, dtype="int64"),
                 }
             )
