@@ -299,9 +299,27 @@ def run_scaling_worker(cpus: int, input_path: str) -> None:
         compute_signatures,
         shingle_sets_for,
     )
+    from duplicate_image_detector_spark.operators.simhash import (
+        simhash_hamming_pairs,
+    )
     from duplicate_image_detector_spark.operators.verify import verify_pairs
 
     cfg = PipelineConfig()
+
+    def cands_of(sig):
+        # production near-tier candidate set (plans/pipeline.py): LSH band
+        # buckets (Jaccard arm) UNION capped pigeonhole Hamming pairs
+        lshc = lsh_candidate_pairs(sig, cfg)
+        ham = simhash_hamming_pairs(
+            sig.select("doc_id", "simhash"), cfg, max_bucket=cfg.max_bucket
+        )
+        out = lshc.unionByName(ham.select("id_a", "id_b")).dropDuplicates(
+            ["id_a", "id_b"]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        lshc.unpersist()
+        ham.unpersist()
+        return out
     pages = spark.read.parquet(input_path)
     # 128 partitions regardless of core count: both parallelism levels run
     # the identical physical workload (input loading is outside the timers)
@@ -336,7 +354,7 @@ def run_scaling_worker(cpus: int, input_path: str) -> None:
     warm = docs.limit(2000)
     wsig = sig_of(warm).persist(StorageLevel.MEMORY_AND_DISK)
     wsig.count()
-    verify_of(warm, wsig, lsh_candidate_pairs(wsig, cfg)).count()
+    verify_of(warm, wsig, cands_of(wsig)).count()
     wsig.unpersist()
 
     t0 = time.time()
@@ -345,8 +363,7 @@ def run_scaling_worker(cpus: int, input_path: str) -> None:
     t_sig = time.time() - t0
 
     t1 = time.time()
-    cands = lsh_candidate_pairs(sig, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    cands.count()
+    cands = cands_of(sig)
     verified = verify_of(docs, sig, cands).persist(StorageLevel.MEMORY_AND_DISK)
     n_pairs = verified.count()
     t_lsh = time.time() - t1
