@@ -546,8 +546,19 @@ At 10^12 docs the dominant cost is the band shuffle: ~128 int32 + 1 int64
 per doc = ~0.5 KB/doc of signature data (vs ~4 KB/doc raw text, which never
 shuffles), i.e. ~500 TB corpus -> ~60 TB shuffled once.
 """
-    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    # preserve manually curated history sections (drift timeline, recall,
+    # cross-round compares) — everything from the first "## Run-to-run"
+    # header on survives a scaling-table refresh
+    path = os.path.join(BENCH_DIR, "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = fh.read()
+        idx = old.find("## Run-to-run drift")
+        if idx != -1:
+            tail = "\n" + old[idx:]
+    with open(path, "w") as fh:
+        fh.write(md + tail)
 
 
 # ---------------------------------------------------------------------------

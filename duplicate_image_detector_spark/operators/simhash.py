@@ -23,6 +23,18 @@ rows — those rows are one ``xor`` each, and when they genuinely ARE within
 Hamming d the quadratic pair list is the requested output; ``max_bucket``
 (default None = exact) optionally routes oversized buckets to pivot
 pairing for pipeline use where CC transitivity recovers clusters.
+
+Scale budget: mean chunk-bucket size is n / 2^chunk_bits (15 bits at the
+pinned 60/4 split), so the candidate join emits ~(d+1) · n² / 2^15 rows —
+fine to ~10^6 docs, quadratic beyond.  The pipeline therefore runs this
+operator CAPPED (``max_bucket=cfg.max_bucket``): past the cap every
+bucket degrades to O(|bucket|) pivot pairs, bounding the stage at
+O((d+1)·n) total.  Under the cap the Hamming arm is deliberately a
+SUPPLEMENT, not the recall carrier — docs within Hamming 3 of each other
+share almost their entire shingle set and are caught by the MinHash-LSH
+arm with near-certainty; the planted-truth recall bench measures the
+composition.  Standalone exact-pair use at 10^8+ docs should raise
+``simhash_bits``/chunk count (Manku'07 §3's table layout) instead.
 """
 
 from __future__ import annotations
