@@ -301,6 +301,27 @@ def _pipeline_clusters(
     return out
 
 
+def q_incremental_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (the daily-crawl mode): documents
+    with pmod(doc_id, 8) == 0 play the newly-crawled delta, the rest the
+    existing corpus.  The operator signs ONLY the delta and finds
+    candidates via delta-bucket joins against the old band/chunk tables —
+    output is exactly the near-tier pairs touching >= 1 delta doc, which
+    is what the DuckDB oracle states (full near rule filtered on either
+    endpoint in the delta)."""
+    from duplicate_image_detector_spark.operators.incremental_pairs import (
+        incremental_near_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    is_new = F.pmod(F.col("doc_id"), F.lit(8)) == 0
+    out = incremental_near_pairs(
+        docs.where(~is_new), docs.where(is_new), CFG_GATE, hash_kind="md5"
+    )
+    _GATE_RESULTS.append(out)  # operator-persisted; released by clear_caches
+    return out.select("id_a", "id_b", "jaccard")
+
+
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming <= max over the md5-60bit base hash via EXACT
     pigeonhole banding (4 x 15-bit chunk equi-joins + bit_count verify) —
@@ -723,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clusters": q_pipeline_clusters,
         "pipeline_clusters_exclude_exact": q_pipeline_clusters_exclude_exact,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "incremental_near_pairs": q_incremental_near_pairs,
         "integrated_pairs": q_integrated_pairs,
         "substring_pairs": q_substring_pairs,
         "best_pair_per_member": q_best_pair_per_member,
@@ -852,6 +874,21 @@ FROM hp h LEFT JOIN allj a ON a.id_a = h.id_a AND a.id_b = h.id_b
 
 _JACCARD_PAIRS = _jaccard_pairs_sql()
 _NEAR_PAIRS = _near_pairs_sql()
+
+# the incremental gate: the SAME near rule, filtered to pairs touching the
+# delta (pmod(doc_id, 8) == 0) — sign-safe modulo for negative ids
+_INCREMENTAL_NEAR_SQL = f"""
+WITH {_allj_ctes()},
+{_hp_ctes(3)},
+np AS (
+  SELECT id_a, id_b, jaccard FROM allj WHERE jaccard >= 0.86
+  UNION
+  SELECT h.id_a, h.id_b, coalesce(a.jaccard, 0.0::DOUBLE) AS jaccard
+  FROM hp h LEFT JOIN allj a ON a.id_a = h.id_a AND a.id_b = h.id_b
+)
+SELECT id_a, id_b, jaccard FROM np
+WHERE ((id_a % 8) + 8) % 8 = 0 OR ((id_b % 8) + 8) % 8 = 0
+"""
 
 _INTEGRATED_SQL = f"""
 WITH jp AS ({_jaccard_pairs_sql(0.8)}),
@@ -1112,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_clusters": _PIPELINE_CC_SQL,
         "pipeline_clusters_exclude_exact": _PIPELINE_CC_SQL,
         "simhash_hamming_pairs": _SIMHASH_SQL,
+        "incremental_near_pairs": _INCREMENTAL_NEAR_SQL,
         "integrated_pairs": _INTEGRATED_SQL,
         "substring_pairs": _SUBSTRING_SQL,
         "best_pair_per_member": f"""

@@ -120,6 +120,7 @@ def run_default() -> None:
     timed("ngram_jaccard_pairs", lambda: E.q_ngram_jaccard_pairs(spark, sf_dir).count())
     timed("integrated_pairs", lambda: E.q_integrated_pairs(spark, sf_dir).count())
     timed("simhash_hamming_pairs", lambda: E.q_simhash_hamming_pairs(spark, sf_dir).count())
+    timed("incremental_near_pairs", lambda: E.q_incremental_near_pairs(spark, sf_dir).count())
     timed("substring_pairs", lambda: E.q_substring_pairs(spark, sf_dir).count())
     timed("events_pivot", lambda: E.q_events_pivot(spark, sf_dir).count())
     timed("orders_rollup", lambda: E.q_orders_rollup(spark, sf_dir).count())

@@ -1,0 +1,185 @@
+"""Incremental near-dup detection: a document DELTA against an existing
+corpus, without re-running the corpus-wide self-join.
+
+Production shape for a daily crawl (the reference's analog is its
+cache-hit fast path — only new/changed files are re-hashed,
+/root/reference/duplicate-detector.py:2700-2718): signatures for old
+documents come PRECOMPUTED (e.g. built by
+``streaming/incremental.py:incremental_signatures`` as crawls land); only
+the delta is signed here, and candidate generation touches old band rows
+exclusively through equi-joins keyed by the delta's buckets:
+
+  * new x new  — the standard within-bucket self-join over the delta only;
+  * new x old  — delta band rows equi-joined against the old band table
+    (output bounded by |delta| x bucket-occupancy, NOT |corpus|²);
+  * both arms of the near-tier admission rule (verify.py): LSH band
+    buckets for the Jaccard arm, SimHash pigeonhole chunks for the
+    Hamming arm.
+
+Verification computes shingle sets ONLY for candidate endpoints (the
+same candidates-only economy as the batch pipeline), so total cost is
+O(|delta| + |candidates|) plus one scan of the old band/chunk tables —
+at a 10^12-doc corpus with a 10^9-doc daily delta, that is the difference
+between a feasible daily job and re-clustering the world.
+
+The result is EXACTLY the pairs of the full batch run that touch at
+least one delta document (equivalence tested in
+tests/test_incremental_pairs.py; uncapped it is oracle-exact and
+hash-gated by the driver).  ``old_fanin_cap`` optionally bounds the
+old-side fan-in per bucket at scale (deterministic hash downsample, the
+ANN hot-bucket treatment) — recall cost documented there, off by
+default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+from duplicate_image_detector_spark.operators.lsh import (
+    explode_bands,
+    lsh_candidate_pairs,
+)
+from duplicate_image_detector_spark.operators.signatures import (
+    compute_signatures,
+    shingle_sets_for,
+)
+from duplicate_image_detector_spark.operators.simhash import (
+    _chunks_col,
+    simhash_hamming_pairs,
+)
+from duplicate_image_detector_spark.operators.verify import verify_pairs
+
+
+def _chunk_rows(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    d = cfg.simhash_hamming_max
+    n_chunks = d + 1
+    chunk_bits = -(-cfg.simhash_bits // n_chunks)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            _chunks_col(F.col("simhash"), n_chunks, chunk_bits)
+        ).alias("ck"),
+    ).select("doc_id", F.col("ck.chunk_id"), F.col("ck.val"))
+
+
+def _delta_cross_candidates(
+    new_rows: DataFrame,
+    old_rows: DataFrame,
+    keys: list[str],
+    old_fanin_cap: int | None,
+    seed: int,
+) -> DataFrame:
+    """new-side rows x old-side rows sharing a bucket key -> (id_a, id_b)
+    canonicalized.  Optional deterministic downsample of the OLD side of
+    hot buckets (same shape as the ANN neighbor-side cap)."""
+    old = old_rows
+    if old_fanin_cap is not None:
+        stats = old.groupBy(*keys).agg(F.count("*").alias("_n"))
+        keep = (
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), F.lit(seed)),
+                F.ceil(F.col("_n") / F.lit(old_fanin_cap)).cast("long"),
+            )
+            == 0
+        )
+        old = old.join(stats, keys).where(keep).drop("_n")
+    joined = new_rows.select(
+        *keys, F.col("doc_id").alias("_new")
+    ).join(old.select(*keys, F.col("doc_id").alias("_old")), keys)
+    return joined.select(
+        F.least("_new", "_old").alias("id_a"),
+        F.greatest("_new", "_old").alias("id_b"),
+    ).where(F.col("id_a") != F.col("id_b"))
+
+
+def incremental_near_pairs(
+    old_docs: DataFrame,
+    delta_docs: DataFrame,
+    cfg: PipelineConfig,
+    existing_sig: DataFrame | None = None,
+    hash_kind: str = "poly",
+    old_fanin_cap: int | None = None,
+) -> DataFrame:
+    """(old corpus, new delta) -> verified near-tier pairs touching >= 1
+    delta document: (id_a, id_b, jaccard, hamming, tier='near').
+
+    ``old_docs`` / ``delta_docs``: (doc_id, text) — old text is consulted
+    only for candidate endpoints at verify time.  ``existing_sig``: the
+    precomputed signature store for ``old_docs`` (slim rows; pass the
+    store built by the streaming ingest).  It MUST have been computed
+    with the same ``hash_kind`` passed here (the streaming ingest's
+    default matches this function's default, 'poly') — band hashes from
+    different base hashes never collide, which would silently drop every
+    new-x-old candidate.  When None the signatures are computed here
+    (correct, but forfeits the incremental savings — tests and the
+    oracle gate use that mode).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sig_old = (
+        existing_sig
+        if existing_sig is not None
+        else compute_signatures(
+            old_docs, cfg, include_shingles=False, hash_kind=hash_kind
+        )
+    )
+    sig_new = compute_signatures(
+        delta_docs, cfg, include_shingles=False, hash_kind=hash_kind
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_new.count()
+
+    # new x new: the standard capped generators over the delta alone
+    nn_lsh = lsh_candidate_pairs(sig_new, cfg)
+    nn_ham = simhash_hamming_pairs(
+        sig_new.select("doc_id", "simhash"), cfg, max_bucket=cfg.max_bucket
+    )
+
+    # new x old: delta buckets joined against the old band/chunk tables
+    no_lsh = _delta_cross_candidates(
+        explode_bands(sig_new, cfg),
+        explode_bands(sig_old, cfg),
+        ["band_id", "band_hash"],
+        old_fanin_cap,
+        cfg.seed,
+    )
+    no_ham = _delta_cross_candidates(
+        _chunk_rows(sig_new, cfg),
+        _chunk_rows(sig_old, cfg),
+        ["chunk_id", "val"],
+        old_fanin_cap,
+        cfg.seed,
+    )
+
+    cands = (
+        nn_lsh.select("id_a", "id_b")
+        .unionByName(nn_ham.select("id_a", "id_b"))
+        .unionByName(no_lsh)
+        .unionByName(no_ham)
+        .dropDuplicates(["id_a", "id_b"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cands.count()
+    nn_lsh.unpersist()
+    nn_ham.unpersist()
+
+    # verify: shingle sets + simhash for candidate endpoints only, drawn
+    # from the union corpus (old text is read just for touched docs)
+    all_docs = old_docs.select("doc_id", "text").unionByName(
+        delta_docs.select("doc_id", "text")
+    )
+    cand_ids = cands.select(F.col("id_a").alias("doc_id")).union(
+        cands.select(F.col("id_b").alias("doc_id"))
+    )
+    sets = shingle_sets_for(all_docs, cand_ids, cfg, hash_kind=hash_kind)
+    sig_union = sig_old.select("doc_id", "simhash").unionByName(
+        sig_new.select("doc_id", "simhash")
+    )
+    out = verify_pairs(cands, sig_union.join(sets, "doc_id"), cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out.count()
+    cands.unpersist()
+    sig_new.unpersist()
+    return out

@@ -1,0 +1,110 @@
+"""Incremental (delta-vs-corpus) near-dup detection: equivalence with the
+full batch near tier, precomputed-signature reuse, and the fan-in cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.operators.incremental_pairs import (
+    incremental_near_pairs,
+)
+from duplicate_image_detector_spark.operators.lsh import lsh_candidate_pairs
+from duplicate_image_detector_spark.operators.signatures import (
+    compute_signatures,
+    shingle_sets_for,
+)
+from duplicate_image_detector_spark.operators.simhash import (
+    simhash_hamming_pairs,
+)
+from duplicate_image_detector_spark.operators.verify import verify_pairs
+
+
+def _full_near_pairs(docs, cfg):
+    """The batch pipeline's near tier (LSH ∪ hamming candidates, OR
+    verify) over the whole corpus — the equivalence reference."""
+    sig = compute_signatures(docs, cfg, include_shingles=False)
+    cands = (
+        lsh_candidate_pairs(sig, cfg)
+        .unionByName(
+            simhash_hamming_pairs(
+                sig.select("doc_id", "simhash"), cfg
+            ).select("id_a", "id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ids = cands.select(F.col("id_a").alias("doc_id")).union(
+        cands.select(F.col("id_b").alias("doc_id"))
+    )
+    sets = shingle_sets_for(docs, ids, cfg)
+    return verify_pairs(
+        cands, sig.select("doc_id", "simhash").join(sets, "doc_id"), cfg
+    )
+
+
+def _docs_df(spark, tiny_corpus):
+    pages, _ = tiny_corpus
+    df = spark.createDataFrame(pages[["url", "text"]])
+    return df.where(
+        F.col("text").isNotNull() & (F.length("text") >= 50)
+    ).select(F.xxhash64("url").alias("doc_id"), "text")
+
+
+def _pairset(df):
+    return {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+    }
+
+
+def test_incremental_equals_full_filtered(spark, tiny_corpus, cfg):
+    docs = _docs_df(spark, tiny_corpus).persist()
+    docs.count()
+    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    old, delta = docs.where(~is_new), docs.where(is_new)
+
+    inc = incremental_near_pairs(old, delta, cfg)
+    full = _full_near_pairs(docs, cfg)
+    touching = full.where(
+        (F.pmod(F.col("id_a"), F.lit(4)) == 0)
+        | (F.pmod(F.col("id_b"), F.lit(4)) == 0)
+    )
+    got, want = _pairset(inc), _pairset(touching)
+    assert want, "fixture must yield delta-touching pairs (non-vacuous)"
+    assert got == want
+    inc.unpersist()
+    docs.unpersist()
+
+
+def test_precomputed_signature_store_reused(spark, tiny_corpus, cfg):
+    docs = _docs_df(spark, tiny_corpus).persist()
+    docs.count()
+    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    old, delta = docs.where(~is_new), docs.where(is_new)
+    # hash_kind must match the operator's (the store built by the
+    # streaming ingest uses the same poly default — one base-hash knob)
+    store = compute_signatures(
+        old, cfg, include_shingles=False, hash_kind="poly"
+    ).persist()
+    store.count()
+
+    a = incremental_near_pairs(old, delta, cfg)
+    b = incremental_near_pairs(old, delta, cfg, existing_sig=store)
+    assert _pairset(a) == _pairset(b)
+    a.unpersist()
+    b.unpersist()
+    store.unpersist()
+    docs.unpersist()
+
+
+def test_old_fanin_cap_yields_subset(spark, tiny_corpus, cfg):
+    docs = _docs_df(spark, tiny_corpus).persist()
+    docs.count()
+    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    old, delta = docs.where(~is_new), docs.where(is_new)
+
+    uncapped = incremental_near_pairs(old, delta, cfg)
+    capped = incremental_near_pairs(old, delta, cfg, old_fanin_cap=1)
+    su, sc = _pairset(uncapped), _pairset(capped)
+    assert sc <= su
+    uncapped.unpersist()
+    capped.unpersist()
+    docs.unpersist()
