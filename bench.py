@@ -225,6 +225,27 @@ def run_skew(n_hot: int = 100000, n_tail: int = 20000) -> None:
     # not O(n_hot^2)
     bound = (n_hot - 1) + cfg.max_bucket ** 2
 
+    # the Hamming arm under the same mega bucket: 100k identical simhashes
+    # put n_hot docs into every chunk bucket — capped pivot pairing must
+    # bound it at O((d+1) * n_hot), and the union with the LSH arm dedups
+    # to the same star (same min-doc_id pivot)
+    from duplicate_image_detector_spark.operators.simhash import (
+        simhash_hamming_pairs,
+    )
+
+    t2b = time.time()
+    ham = simhash_hamming_pairs(
+        sig.select("doc_id", "simhash"), cfg, max_bucket=cfg.max_bucket
+    )
+    union = (
+        cands.unionByName(ham.select("id_a", "id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_union = union.count()
+    t_ham_union = time.time() - t2b
+    ham.unpersist()
+    cands.unpersist()
+
     # ngram with the shipped default df_cap: every hot-doc shingle has
     # df = n_hot >> cap, so the whole boilerplate universe is dropped —
     # uncapped this would be ~n_hot^2/2 join rows PER SHINGLE (the exact
@@ -242,10 +263,14 @@ def run_skew(n_hot: int = 100000, n_tail: int = 20000) -> None:
                 "n_exact_rows": n_exact,
                 "n_candidates": n_cands,
                 "candidate_bound_ok": n_cands <= bound,
+                "n_union_candidates": n_union,
+                "union_bound_ok": n_union
+                <= bound + 4 * (n_hot + cfg.max_bucket ** 2),
                 "n_ngram_pairs_capped": n_ngram,
                 "t_exact_sec": round(t_exact, 2),
                 "t_signatures_sec": round(t_sig, 2),
                 "t_lsh_sec": round(t_lsh, 2),
+                "t_hamming_union_sec": round(t_ham_union, 2),
                 "t_ngram_capped_sec": round(t_ngram, 2),
                 "ngram_df_cap": cfg.ngram_df_cap,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
