@@ -46,22 +46,15 @@ from duplicate_image_detector_spark.operators.signatures import (
     shingle_sets_for,
 )
 from duplicate_image_detector_spark.operators.simhash import (
-    _chunks_col,
     simhash_hamming_pairs,
+    simhash_key_rows,
 )
 from duplicate_image_detector_spark.operators.verify import verify_pairs
 
 
 def _chunk_rows(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    d = cfg.simhash_hamming_max
-    n_chunks = d + 1
-    chunk_bits = -(-cfg.simhash_bits // n_chunks)
-    return sig.select(
-        "doc_id",
-        F.explode(
-            _chunks_col(F.col("simhash"), n_chunks, chunk_bits)
-        ).alias("ck"),
-    ).select("doc_id", F.col("ck.chunk_id"), F.col("ck.val"))
+    # same pigeonhole key layout on both sides (simhash_key_rows default)
+    return simhash_key_rows(sig, cfg).select("doc_id", "chunk_id", "val")
 
 
 def _delta_cross_candidates(

@@ -95,6 +95,19 @@ def test_precomputed_signature_store_reused(spark, tiny_corpus, cfg):
     docs.unpersist()
 
 
+def test_incremental_plan_has_no_quadratic_joins(spark, tiny_corpus, cfg):
+    """Every candidate path is an equi-join keyed by bucket — the plan
+    must never fall back to CartesianProduct / BroadcastNestedLoopJoin
+    (the same audit the batch gates carry in tests/test_plans.py)."""
+    docs = _docs_df(spark, tiny_corpus)
+    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    out = incremental_near_pairs(docs.where(~is_new), docs.where(is_new), cfg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out.unpersist()
+
+
 def test_old_fanin_cap_yields_subset(spark, tiny_corpus, cfg):
     docs = _docs_df(spark, tiny_corpus).persist()
     docs.count()

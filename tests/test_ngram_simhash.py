@@ -127,8 +127,15 @@ def test_simhash_pigeonhole_matches_brute_force(spark, tiny_pages_df, cfg):
         .where(F.col("hamming") <= cfg.simhash_hamming_max)
     )
     want = {(r["id_a"], r["id_b"]): r["hamming"] for r in brute.collect()}
+    # the wider combination layout (6 chunks, C(6,3) 30-bit keys) must be
+    # output-identical — pigeonhole exactness is layout-independent
+    combo = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(sig, cfg, n_chunks=6).collect()
+    }
     sig.unpersist()
     assert got == want
+    assert combo == want
     assert len(want) > 0
 
 
