@@ -322,6 +322,55 @@ def q_incremental_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "jaccard")
 
 
+def q_incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl cluster MAINTENANCE: clusters computed over the old
+    corpus (doc_id % 8 != 0) are merged with the delta's incremental
+    pairs via ``incremental_update_clusters`` — only components touched
+    by new pairs recompute.  The result must equal the full-corpus
+    near-tier CC (the same DuckDB oracle as near_dup_clusters), because
+    star membership preserves old connectivity exactly."""
+    from duplicate_image_detector_spark.operators.incremental_pairs import (
+        incremental_near_pairs,
+        incremental_update_clusters,
+    )
+    from duplicate_image_detector_spark.operators.simhash import (
+        simhash_hamming_pairs as _shp,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    is_new = F.pmod(F.col("doc_id"), F.lit(8)) == 0
+    old, delta = docs.where(~is_new), docs.where(is_new)
+
+    sig_old = compute_signatures(old, CFG_GATE, include_shingles=False,
+                                 hash_kind="md5")
+    old_cands = (
+        lsh_candidate_pairs(sig_old, CFG_GATE)
+        .unionByName(
+            _shp(sig_old.select("doc_id", "simhash"), CFG).select("id_a", "id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from duplicate_image_detector_spark.operators.signatures import (
+        shingle_sets_for,
+    )
+
+    old_ids = old_cands.select(F.col("id_a").alias("doc_id")).union(
+        old_cands.select(F.col("id_b").alias("doc_id"))
+    )
+    old_sets = shingle_sets_for(old, old_ids, CFG_GATE, hash_kind="md5")
+    old_pairs = verify_pairs(
+        old_cands, sig_old.select("doc_id", "simhash").join(old_sets, "doc_id"),
+        CFG_GATE,
+    )
+    old_clusters = connected_components(old_pairs.select("id_a", "id_b"))
+
+    new_pairs = incremental_near_pairs(old, delta, CFG_GATE, hash_kind="md5")
+    _GATE_RESULTS.append(new_pairs)
+    return incremental_update_clusters(
+        old_clusters, new_pairs.select("id_a", "id_b")
+    ).select("doc_id", "cluster_id")
+
+
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming <= max over the md5-60bit base hash via EXACT
     pigeonhole banding (4 x 15-bit chunk equi-joins + bit_count verify) —
@@ -745,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clusters_exclude_exact": q_pipeline_clusters_exclude_exact,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "incremental_near_pairs": q_incremental_near_pairs,
+        "incremental_cluster_update": q_incremental_cluster_update,
         "integrated_pairs": q_integrated_pairs,
         "substring_pairs": q_substring_pairs,
         "best_pair_per_member": q_best_pair_per_member,
@@ -1150,6 +1200,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_clusters_exclude_exact": _PIPELINE_CC_SQL,
         "simhash_hamming_pairs": _SIMHASH_SQL,
         "incremental_near_pairs": _INCREMENTAL_NEAR_SQL,
+        # cluster maintenance must reproduce the full-corpus near CC
+        "incremental_cluster_update": _CC_SQL,
         "integrated_pairs": _INTEGRATED_SQL,
         "substring_pairs": _SUBSTRING_SQL,
         "best_pair_per_member": f"""

@@ -176,3 +176,60 @@ def incremental_near_pairs(
     cands.unpersist()
     sig_new.unpersist()
     return out
+
+
+def incremental_update_clusters(
+    old_clusters: DataFrame,
+    new_pairs: DataFrame,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Merge new evidence pairs into an existing cluster assignment,
+    recomputing ONLY the components the new pairs touch.
+
+    ``old_clusters``: (doc_id, cluster_id) with min-id labels (the
+    output contract of ``connected_components`` / the pipeline).
+    ``new_pairs``: (id_a, id_b) evidence touching >= 1 new doc (e.g.
+    ``incremental_near_pairs`` output).  Returns the updated
+    (doc_id, cluster_id): clusters untouched by any new pair pass
+    through UNCHANGED (no recompute, no shuffle of their members beyond
+    one anti-join); touched clusters are expanded to their star edges,
+    unioned with the new pairs, and re-labeled by a connected-components
+    run over that SUBGRAPH only — new pairs can merge several old
+    clusters and attach new docs, and the result equals a full CC over
+    (old evidence ∪ new pairs) because star membership preserves old
+    connectivity exactly (equivalence tested).
+
+    At scale this is the daily-crawl cluster-maintenance step: the CC
+    input is O(|touched members| + |new pairs|), not O(corpus).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from duplicate_image_detector_spark.operators.components import (
+        connected_components,
+    )
+
+    ends = (
+        new_pairs.select(F.col("id_a").alias("doc_id"))
+        .union(new_pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    touched = (
+        old_clusters.join(ends, "doc_id")
+        .select("cluster_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    touched.count()
+    members = old_clusters.join(touched, "cluster_id")
+    star = members.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    sub = connected_components(
+        new_pairs.select("id_a", "id_b").unionByName(star), work_dir=work_dir
+    )
+    untouched = old_clusters.join(touched, "cluster_id", "left_anti")
+    out = untouched.select("doc_id", "cluster_id").unionByName(
+        sub.select("doc_id", "cluster_id")
+    )
+    touched.unpersist()
+    return out

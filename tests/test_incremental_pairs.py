@@ -108,6 +108,40 @@ def test_incremental_plan_has_no_quadratic_joins(spark, tiny_corpus, cfg):
     out.unpersist()
 
 
+def test_cluster_update_equals_full_cc(spark, tiny_corpus, cfg):
+    """Merging the delta's incremental pairs into the old clusters must
+    reproduce the full-corpus CC exactly — including cluster MERGES
+    (a delta doc bridging two old clusters) and new-doc attachment."""
+    from duplicate_image_detector_spark.operators.components import (
+        connected_components,
+    )
+    from duplicate_image_detector_spark.operators.incremental_pairs import (
+        incremental_update_clusters,
+    )
+
+    docs = _docs_df(spark, tiny_corpus).persist()
+    docs.count()
+    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    old, delta = docs.where(~is_new), docs.where(is_new)
+
+    old_pairs = _full_near_pairs(old, cfg)
+    old_clusters = connected_components(old_pairs.select("id_a", "id_b"))
+    new_pairs = incremental_near_pairs(old, delta, cfg)
+
+    updated = incremental_update_clusters(
+        old_clusters, new_pairs.select("id_a", "id_b")
+    )
+    full = connected_components(
+        _full_near_pairs(docs, cfg).select("id_a", "id_b")
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in updated.collect()}
+    want = {(r["doc_id"], r["cluster_id"]) for r in full.collect()}
+    assert want, "fixture must produce clusters"
+    assert got == want
+    new_pairs.unpersist()
+    docs.unpersist()
+
+
 def test_old_fanin_cap_yields_subset(spark, tiny_corpus, cfg):
     docs = _docs_df(spark, tiny_corpus).persist()
     docs.count()
