@@ -76,6 +76,37 @@ class ClusterStore:
         os.makedirs(self.path, exist_ok=True)
         return self._commit(clusters.withColumn("status", F.lit("active")))
 
+    def apply_update(self, clusters: DataFrame) -> int:
+        """Commit an UPDATED cluster assignment (e.g. the output of the
+        incremental daily-crawl maintenance,
+        ``operators/incremental_pairs.incremental_update_clusters``,
+        re-assembled to the store shape) as a new snapshot version.
+
+        Soft-delete status carries forward by doc_id: docs present in the
+        current snapshot keep their status (a reviewed-and-deleted doc
+        stays deleted even if the refresh re-clusters it), unseen docs
+        start ``'active'``.  Readers of the previous version are never
+        disturbed (same immutable-snapshot contract as ``init``).  The
+        input must NOT carry a ``status`` column — status is the store's
+        ledger, not the pipeline's.
+        """
+        if "status" in clusters.columns:
+            raise ValueError(
+                "apply_update input must not carry 'status' — the store "
+                "owns deletion state and carries it forward by doc_id"
+            )
+        cur = self.read(include_deleted=True).select(
+            "doc_id", F.col("status").alias("_prev_status")
+        )
+        out = (
+            clusters.join(cur, "doc_id", "left")
+            .withColumn(
+                "status", F.coalesce(F.col("_prev_status"), F.lit("active"))
+            )
+            .drop("_prev_status")
+        )
+        return self._commit(out)
+
     def read(self, include_deleted: bool = False) -> DataFrame:
         v = self._latest_version()
         if v < 0:

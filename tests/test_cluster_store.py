@@ -122,3 +122,42 @@ def test_soft_delete_drop_to_zero_and_dup_ids(spark, tmp_path):
     # an unrelated later delete must NOT re-report the already-complete 20
     res2 = store.soft_delete([11])
     assert res2["complete_groups"] == []
+
+
+def test_apply_update_carries_deletions_forward(spark, tmp_path):
+    """Daily-refresh commit: an updated assignment becomes a new snapshot;
+    reviewed deletions survive the refresh, new docs start active, and
+    readers of the previous version are undisturbed."""
+    import pytest
+
+    store = _seed(spark, tmp_path)
+    store.soft_delete([11])
+    v_before = store._latest_version()
+    prev = store.read()  # reader pinned to the pre-update snapshot
+
+    # refresh: cluster 20 gained doc 22; doc 11 re-clustered by the
+    # pipeline but must STAY deleted; doc 12 left the corpus
+    updated = spark.createDataFrame(
+        [
+            (10, 10, "near", 0.9, True, "u10"),
+            (11, 10, "near", 0.9, False, "u11"),
+            (20, 20, "exact", 1.0, True, "u20"),
+            (21, 20, "exact", 1.0, False, "u21"),
+            (22, 20, "exact", 1.0, False, "u22"),
+        ],
+        "doc_id long, cluster_id long, tier string, score double, "
+        "is_representative boolean, url string",
+    )
+    v = store.apply_update(updated)
+    assert v == v_before + 1
+
+    cur = {r["doc_id"]: r["status"] for r in store.read(include_deleted=True).collect()}
+    assert cur[11] == "deleted"      # carried forward
+    assert cur[22] == "active"       # new doc
+    assert 12 not in cur             # dropped from the refreshed corpus
+    assert store.read().count() == 4  # active only
+    assert prev.count() == 4          # old snapshot reader undisturbed
+
+    # status is the store's ledger — a status-bearing input is rejected
+    with pytest.raises(ValueError, match="status"):
+        store.apply_update(updated.withColumn("status", updated["tier"]))

@@ -84,6 +84,17 @@ def test_cosine_topk_blocked_matches_single_block(emb_df):
     assert single.equals(blocked)
 
 
+def test_cosine_grid_plan_has_no_quadratic_joins(emb_df):
+    """The multi-block grid replicates via a narrow explode, never a
+    join — the executed plan must contain no cartesian or
+    broadcast-nested-loop node (the audit the other operators carry)."""
+    out = cosine_topk(emb_df, k=3, block_rows=37)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out.unpersist()
+
+
 def test_cosine_topk_small_corpus_fewer_than_k(spark):
     """corpus smaller than k+1: every vector gets n-1 neighbors, no
     self-matches, no crash (the -inf guard)."""
