@@ -82,10 +82,14 @@ class ClusterStore:
         ``operators/incremental_pairs.incremental_update_clusters``,
         re-assembled to the store shape) as a new snapshot version.
 
-        Soft-delete status carries forward by doc_id: docs present in the
-        current snapshot keep their status (a reviewed-and-deleted doc
-        stays deleted even if the refresh re-clusters it), unseen docs
-        start ``'active'``.  Readers of the previous version are never
+        Soft-delete status carries forward by doc_id from the union of
+        the latest snapshot AND the ``_deletion_log`` ledger: a
+        reviewed-and-deleted doc stays deleted even if the refresh
+        re-clusters it, and ALSO if it was absent from one refresh (e.g.
+        a transient 404 in a daily crawl dropped it from a snapshot) and
+        reappears in a later one — the append-only log is the durable
+        record, the snapshot alone is not.  Unseen docs start
+        ``'active'``.  Readers of the previous version are never
         disturbed (same immutable-snapshot contract as ``init``).  The
         input must NOT carry a ``status`` column — status is the store's
         ledger, not the pipeline's.
@@ -95,15 +99,31 @@ class ClusterStore:
                 "apply_update input must not carry 'status' — the store "
                 "owns deletion state and carries it forward by doc_id"
             )
-        cur = self.read(include_deleted=True).select(
-            "doc_id", F.col("status").alias("_prev_status")
+        # docs ever deleted: latest snapshot's deleted rows UNION the audit
+        # log (covers docs that skipped a snapshot; the snapshot side covers
+        # a crash between commit and audit append, where the log undercounts)
+        snap_deleted = (
+            self.read(include_deleted=True)
+            .where(F.col("status") == "deleted")
+            .select("doc_id")
         )
-        out = (
-            clusters.join(cur, "doc_id", "left")
-            .withColumn(
-                "status", F.coalesce(F.col("_prev_status"), F.lit("active"))
+        log_dir = os.path.join(self.path, "_deletion_log")
+        if os.path.isdir(log_dir):
+            ever_deleted = snap_deleted.union(
+                self.deletion_log().select("doc_id")
             )
-            .drop("_prev_status")
+        else:
+            ever_deleted = snap_deleted
+        dead = ever_deleted.distinct().withColumn("_dead", F.lit(True))
+        out = (
+            clusters.join(dead, "doc_id", "left")
+            .withColumn(
+                "status",
+                F.when(F.col("_dead").isNotNull(), F.lit("deleted")).otherwise(
+                    F.lit("active")
+                ),
+            )
+            .drop("_dead")
         )
         return self._commit(out)
 

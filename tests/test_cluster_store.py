@@ -161,3 +161,82 @@ def test_apply_update_carries_deletions_forward(spark, tmp_path):
     # status is the store's ledger — a status-bearing input is rejected
     with pytest.raises(ValueError, match="status"):
         store.apply_update(updated.withColumn("status", updated["tier"]))
+
+
+def test_apply_update_no_resurrection_after_skipped_refresh(spark, tmp_path):
+    """A reviewed-and-deleted doc that is ABSENT from one refresh (e.g. a
+    transient 404 dropped it from the crawl) and reappears in a later
+    refresh must stay deleted — the _deletion_log is the durable record,
+    not just the latest snapshot."""
+    store = _seed(spark, tmp_path)
+    store.soft_delete([11])
+
+    schema = (
+        "doc_id long, cluster_id long, tier string, score double, "
+        "is_representative boolean, url string"
+    )
+    # refresh 1: doc 11 missing entirely (its status row vanishes from
+    # the new snapshot)
+    store.apply_update(
+        spark.createDataFrame(
+            [(10, 10, "near", 0.9, True, "u10"),
+             (12, 10, "near", 0.9, False, "u12")],
+            schema,
+        )
+    )
+    assert 11 not in {
+        r["doc_id"]
+        for r in store.read(include_deleted=True).collect()
+    }
+    # refresh 2: doc 11 reappears — resurrected as 'active' would violate
+    # the review decision; the log keeps it deleted
+    store.apply_update(
+        spark.createDataFrame(
+            [(10, 10, "near", 0.9, True, "u10"),
+             (11, 10, "near", 0.9, False, "u11"),
+             (12, 10, "near", 0.9, False, "u12")],
+            schema,
+        )
+    )
+    cur = {
+        r["doc_id"]: r["status"]
+        for r in store.read(include_deleted=True).collect()
+    }
+    assert cur[11] == "deleted"
+    assert cur[10] == "active" and cur[12] == "active"
+
+
+def test_apply_update_before_any_deletion_log_exists(spark, tmp_path):
+    """apply_update on a store with zero deletions (no _deletion_log dir
+    yet) must not fail and must mark everything active; and a deletion
+    visible only in the SNAPSHOT (crash before the audit append) still
+    carries forward."""
+    store = _seed(spark, tmp_path)
+    schema = (
+        "doc_id long, cluster_id long, tier string, score double, "
+        "is_representative boolean, url string"
+    )
+    refresh = spark.createDataFrame(
+        [(10, 10, "near", 0.9, True, "u10"),
+         (11, 10, "near", 0.9, False, "u11")],
+        schema,
+    )
+    store.apply_update(refresh)  # no log dir: must not raise
+    assert store.read().count() == 2
+
+    # snapshot-only deletion (audit append crashed): union still sees it
+    import pytest
+
+    def boom(audit):
+        raise RuntimeError("injected crash after commit, before audit")
+
+    store._append_audit = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.soft_delete([11])
+    del store._append_audit
+    store.apply_update(refresh)
+    cur = {
+        r["doc_id"]: r["status"]
+        for r in store.read(include_deleted=True).collect()
+    }
+    assert cur[11] == "deleted"
