@@ -316,7 +316,11 @@ def q_incremental_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     is_new = F.pmod(F.col("doc_id"), F.lit(8)) == 0
     out = incremental_near_pairs(
-        docs.where(~is_new), docs.where(is_new), CFG_GATE, hash_kind="md5"
+        docs.where(~is_new),
+        docs.where(is_new),
+        CFG_GATE,
+        hash_kind="md5",
+        old_fanin_cap=None,  # oracle-exact mode: the gate's SQL is uncapped
     )
     _GATE_RESULTS.append(out)  # operator-persisted; released by clear_caches
     return out.select("id_a", "id_b", "jaccard")
@@ -364,7 +368,9 @@ def q_incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_clusters = connected_components(old_pairs.select("id_a", "id_b"))
 
-    new_pairs = incremental_near_pairs(old, delta, CFG_GATE, hash_kind="md5")
+    new_pairs = incremental_near_pairs(
+        old, delta, CFG_GATE, hash_kind="md5", old_fanin_cap=None
+    )
     _GATE_RESULTS.append(new_pairs)
     return incremental_update_clusters(
         old_clusters, new_pairs.select("id_a", "id_b")

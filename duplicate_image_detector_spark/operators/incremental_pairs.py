@@ -22,13 +22,26 @@ O(|delta| + |candidates|) plus one scan of the old band/chunk tables —
 at a 10^12-doc corpus with a 10^9-doc daily delta, that is the difference
 between a feasible daily job and re-clustering the world.
 
-The result is EXACTLY the pairs of the full batch run that touch at
-least one delta document (equivalence tested in
-tests/test_incremental_pairs.py; uncapped it is oracle-exact and
-hash-gated by the driver).  ``old_fanin_cap`` optionally bounds the
-old-side fan-in per bucket at scale (deterministic hash downsample, the
-ANN hot-bucket treatment) — recall cost documented there, off by
-default.
+Equivalence contract: in the under-cap regime (every bucket within
+``max_bucket`` / ``old_fanin_cap``) the result is EXACTLY the pairs of
+the full batch run that touch at least one delta document (equivalence
+tested in tests/test_incremental_pairs.py over under-cap fixtures;
+``old_fanin_cap=None`` makes the cross arm unconditionally exact and is
+what the driver's hash gate runs).  When caps bind (oversized buckets),
+pair SELECTION differs from the batch run — the batch caps combined
+old+new bucket occupancy while this mode caps the delta and old sides
+separately — but both route oversized buckets through a deterministic
+min-id pivot, so cluster-level connectivity is preserved either way.
+
+``old_fanin_cap`` (default: ``cfg.max_bucket``) bounds the old-side
+fan-in per bucket: buckets whose OLD occupancy exceeds the cap
+contribute only their min-doc_id pivot row to the cross join, so a
+boilerplate bucket with 10^6 old members x 10^3 delta members emits
+10^3 candidate rows, not 10^9.  Members of such a bucket agree on an
+entire signature band (near-identical); the old corpus already connects
+them to the pivot from the batch run, so connected components recovers
+the full cluster through the pivot — the same argument, and the same
+0.99-recall budget, as ``lsh_candidate_pairs`` pivot routing.
 """
 
 from __future__ import annotations
@@ -62,22 +75,32 @@ def _delta_cross_candidates(
     old_rows: DataFrame,
     keys: list[str],
     old_fanin_cap: int | None,
-    seed: int,
 ) -> DataFrame:
     """new-side rows x old-side rows sharing a bucket key -> (id_a, id_b)
-    canonicalized.  Optional deterministic downsample of the OLD side of
-    hot buckets (same shape as the ANN neighbor-side cap)."""
+    canonicalized.
+
+    ``old_fanin_cap``: buckets whose OLD-side occupancy exceeds the cap
+    are pivot-routed — only the bucket's min-doc_id old row joins, so
+    per-bucket output is O(|delta members|) instead of
+    O(|delta| x |old occupancy|).  Deterministic (no sampling), and the
+    exact analog of ``lsh_candidate_pairs``'s oversized-bucket
+    treatment: pivot-bucket members are near-identical (they agree on a
+    whole band / pigeonhole chunk) and the old corpus already connects
+    them to the pivot, so connected components recovers the cluster.
+    ``None`` disables the cap (oracle-exact mode)."""
     old = old_rows
     if old_fanin_cap is not None:
-        stats = old.groupBy(*keys).agg(F.count("*").alias("_n"))
-        keep = (
-            F.pmod(
-                F.xxhash64(F.col("doc_id"), F.lit(seed)),
-                F.ceil(F.col("_n") / F.lit(old_fanin_cap)).cast("long"),
-            )
-            == 0
+        stats = old.groupBy(*keys).agg(
+            F.count("*").alias("_n"), F.min("doc_id").alias("_pivot")
         )
-        old = old.join(stats, keys).where(keep).drop("_n")
+        old = (
+            old.join(stats, keys)
+            .where(
+                (F.col("_n") <= F.lit(old_fanin_cap))
+                | (F.col("doc_id") == F.col("_pivot"))
+            )
+            .drop("_n", "_pivot")
+        )
     joined = new_rows.select(
         *keys, F.col("doc_id").alias("_new")
     ).join(old.select(*keys, F.col("doc_id").alias("_old")), keys)
@@ -93,10 +116,16 @@ def incremental_near_pairs(
     cfg: PipelineConfig,
     existing_sig: DataFrame | None = None,
     hash_kind: str = "poly",
-    old_fanin_cap: int | None = None,
+    old_fanin_cap: int | None | str = "auto",
 ) -> DataFrame:
     """(old corpus, new delta) -> verified near-tier pairs touching >= 1
     delta document: (id_a, id_b, jaccard, hamming, tier='near').
+
+    ``old_fanin_cap``: per-bucket bound on the old side of the cross
+    join.  ``"auto"`` (the default) uses ``cfg.max_bucket`` — the shipped
+    default a daily-crawl job gets, so a boilerplate bucket never emits
+    O(|delta| x |old occupancy|) rows.  ``None`` disables the cap
+    (unconditionally exact; what the driver's oracle gate passes).
 
     ``old_docs`` / ``delta_docs``: (doc_id, text) — old text is consulted
     only for candidate endpoints at verify time.  ``existing_sig``: the
@@ -110,6 +139,9 @@ def incremental_near_pairs(
     oracle gate use that mode).
     """
     from pyspark.storagelevel import StorageLevel
+
+    if old_fanin_cap == "auto":
+        old_fanin_cap = cfg.max_bucket
 
     sig_old = (
         existing_sig
@@ -135,14 +167,12 @@ def incremental_near_pairs(
         explode_bands(sig_old, cfg),
         ["band_id", "band_hash"],
         old_fanin_cap,
-        cfg.seed,
     )
     no_ham = _delta_cross_candidates(
         _chunk_rows(sig_new, cfg),
         _chunk_rows(sig_old, cfg),
         ["chunk_id", "val"],
         old_fanin_cap,
-        cfg.seed,
     )
 
     cands = (

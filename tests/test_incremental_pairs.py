@@ -155,3 +155,66 @@ def test_old_fanin_cap_yields_subset(spark, tiny_corpus, cfg):
     uncapped.unpersist()
     capped.unpersist()
     docs.unpersist()
+
+
+def test_old_fanin_cap_pivot_bounds_and_connectivity(spark, cfg):
+    """The shipped default caps the delta-x-corpus arm: an oversized OLD
+    bucket (boilerplate) contributes only its min-id pivot row, so the
+    cross join emits O(|delta members|) rows — and connected components
+    still recovers the full cluster through the pivot, because the old
+    corpus already connects the bucket's members to it."""
+    from dataclasses import replace
+
+    from duplicate_image_detector_spark.operators.components import (
+        connected_components,
+    )
+    from duplicate_image_detector_spark.operators.incremental_pairs import (
+        _delta_cross_candidates,
+        incremental_update_clusters,
+    )
+    from duplicate_image_detector_spark.operators.lsh import explode_bands
+
+    small = replace(cfg, max_bucket=4)  # make the cap bind at test size
+    boiler = " ".join(f"boiler{i}" for i in range(120))
+    n_old, n_delta = 60, 5
+    old = spark.range(n_old).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    delta = spark.range(1000, 1000 + n_delta).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+
+    sig_old = compute_signatures(old, small, include_shingles=False)
+    sig_new = compute_signatures(delta, small, include_shingles=False)
+
+    # candidate economy: every bucket's old occupancy is n_old > cap, so
+    # only the pivot (min doc_id = 0) survives on the old side — the
+    # cross arm emits exactly the (delta_doc, pivot) pairs, not
+    # n_delta x n_old
+    cross = _delta_cross_candidates(
+        explode_bands(sig_new, small),
+        explode_bands(sig_old, small),
+        ["band_id", "band_hash"],
+        old_fanin_cap=small.max_bucket,
+    ).dropDuplicates(["id_a", "id_b"])
+    got = {(r["id_a"], r["id_b"]) for r in cross.collect()}
+    assert got == {(0, d) for d in range(1000, 1000 + n_delta)}
+
+    # connectivity through the pivot: capped incremental pairs merged
+    # into the old clustering == full-batch CC over the day-2 corpus
+    old_pairs = _full_near_pairs(old, small)
+    old_clusters = connected_components(old_pairs.select("id_a", "id_b"))
+    inc = incremental_near_pairs(old, delta, small)  # default cap = auto
+    updated = incremental_update_clusters(
+        old_clusters, inc.select("id_a", "id_b")
+    )
+    full = connected_components(
+        _full_near_pairs(
+            old.unionByName(delta), small
+        ).select("id_a", "id_b")
+    )
+    got_c = {(r["doc_id"], r["cluster_id"]) for r in updated.collect()}
+    want_c = {(r["doc_id"], r["cluster_id"]) for r in full.collect()}
+    assert len(want_c) == n_old + n_delta  # all 65 docs in the cluster
+    assert got_c == want_c
+    inc.unpersist()
