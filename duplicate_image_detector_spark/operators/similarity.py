@@ -6,10 +6,12 @@ L2-normalized SSCD embeddings).  This module keeps that capability as a
 first-class operator over an ``array<float>`` column:
 
   * ``cosine_topk``   — exact brute-force top-k neighbors; the reference's
-    blocked matmul re-expressed as a crossJoin + JVM ``zip_with``/
-    ``aggregate`` dot product.  Quadratic: the small-scale baseline and the
+    blocked matmul re-expressed as a byte-budgeted block grid (broadcast
+    single block, or a cogrouped block x block grid of NumPy kernels).
+    Quadratic in compute by nature: the small-scale baseline and the
     test oracle, exactly the role the brute-force path plays in the
-    reference.
+    reference — but never a quadratic JOIN (no crossJoin anywhere in the
+    module; the old pure-SQL variant that carried one is deleted).
   * ``ann_lsh_topk``  — the scale path: signed-random-projection LSH
     (Charikar'02) computed in a NumPy-vectorized ``mapInPandas`` (Arrow
     batches), bucket equi-join to form candidates, exact cosine re-rank of
@@ -23,7 +25,7 @@ from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
@@ -48,23 +50,29 @@ def _round_half_up_inplace(a: np.ndarray, scale: float) -> np.ndarray:
     return a
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-
-
 _TOPK_SCHEMA = "vec_id bigint, neighbor_id bigint, cos double, rank int"
+
+
+def _block_grid_size(
+    base: DataFrame, vec_col: str, block_rows: int, block_bytes: int
+) -> tuple[int, int]:
+    """(n rows, n blocks) sized by BOTH a row cap and a byte budget.
+
+    A block is collected/broadcast (single-block path) or held per task
+    (grid path) as a float64 matrix of ``rows x dim x 8`` bytes — a row
+    cap alone is dimension-blind: 262144 rows of 1024-d vectors is a
+    2.1 GB "block".  The byte budget makes high-d corpora leave the
+    driver-collect path at ~block_bytes/(d*8) rows (~32k at 1024-d with
+    the 256 MB default) instead of at block_rows.  Hash blocks are
+    statistical (xxhash64(id) % n_blocks can overfill a block), so the
+    target is ~0.8x the cap — a high-probability bound, not expectation.
+    """
+    stats = base.agg(
+        F.count("*").alias("n"), F.max(F.size(vec_col)).alias("d")
+    ).first()
+    n, dim = stats["n"], stats["d"] or 0
+    eff_rows = max(1, min(block_rows, block_bytes // max(1, dim * 8)))
+    return n, max(1, -(-n // max(1, int(eff_rows * 0.8))))
 
 
 def _collect_block(df: DataFrame, id_col: str, vec_col: str):
@@ -185,8 +193,8 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    method: str = "numpy",
     block_rows: int = 262144,
+    block_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector.
 
@@ -195,37 +203,31 @@ def cosine_topk(
     reproducible across engines/summation orders (used for ranking too,
     keeping ties deterministic).
 
-    ``method='numpy'`` (default) is the reference's blocked matmul
-    (ref :1404-1415) made distributed-safe: the corpus side is processed in
-    ``block_rows``-sized blocks.  When the corpus fits one block, it is
+    The reference's blocked matmul (ref :1404-1415) made
+    distributed-safe: the corpus side is processed in blocks sized by
+    ``block_rows`` AND ``block_bytes`` (whichever binds — see
+    ``_block_grid_size``; a 1024-d corpus leaves the single-block path
+    at ~32k rows, not 262k).  When the corpus fits one block, it is
     broadcast whole and each Arrow batch of query vectors does one BLAS
     matmul against it (single driver collect — the reference's own
-    operating regime).  Larger corpora never touch the driver at all: both
-    sides are hash-tagged into blocks and replicated across a (query-block
-    x corpus-block) grid with a narrow explode, a cogrouped
+    operating regime).  Larger corpora never touch the driver at all:
+    both sides are hash-tagged into blocks and replicated across a
+    (query-block x corpus-block) grid with a narrow explode, a cogrouped
     ``applyInPandas`` runs the same NumPy kernel per grid cell — every
     cell an independent task, no driver collect, no broadcast, no serial
-    block loop — and a final window merge takes the global top-k.  Exact;
-    executor memory bounded by two blocks (O(block_rows * d)) per task;
-    communication is the unavoidable O(n * n_blocks) replication shuffle
-    of any exact all-pairs scheme.  ``method='sql'`` keeps the
-    pure-column-expression variant.
+    block loop — and a final window merge takes the global top-k.
+    Exact; executor memory bounded by two blocks per task; communication
+    is the unavoidable O(n * n_blocks) replication shuffle of any exact
+    all-pairs scheme.
 
     Multi-block outputs are persisted; the caller owns the returned cache
     (``.unpersist()`` when done — same contract as the candidate-pair
     operators).
     """
-    if method == "sql":
-        return _cosine_topk_sql(emb, k, id_col, vec_col, round_digits)
-
     scale = 10.0 ** round_digits
     sc = emb.sparkSession.sparkContext
     base = emb.select(id_col, vec_col)
-    n = base.count()
-    # hash blocks are statistical (xxhash64(id) % n_blocks): a block can
-    # exceed n/n_blocks, so size to ~0.8*block_rows as a safety factor —
-    # the memory bound is then a high-probability bound, not expectation
-    n_blocks = max(1, -(-n // max(1, int(block_rows * 0.8))))
+    n, n_blocks = _block_grid_size(base, vec_col, block_rows, block_bytes)
 
     if n_blocks == 1:
         b_ids, b_mat, b_norms = (
@@ -275,34 +277,6 @@ def cosine_topk(
     return out
 
 
-def _cosine_topk_sql(
-    emb: DataFrame, k: int, id_col: str, vec_col: str, round_digits: int
-) -> DataFrame:
-    a = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_va"),
-    ).withColumn("_na", _norm(F.col("_va")))
-    b = a.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("_va").alias("_vb"),
-        F.col("_na").alias("_nb"),
-    )
-    pairs = a.crossJoin(b).where(F.col("vec_id") != F.col("neighbor_id"))
-    cos = F.round(
-        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-        round_digits,
-    )
-    scored = pairs.select("vec_id", "neighbor_id", cos.alias("cos"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cos", "rank")
-    )
-
-
 def cosine_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -310,6 +284,7 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     block_rows: int = 262144,
+    block_bytes: int = 256 << 20,
 ) -> DataFrame:
     """EXACT embedding near-dup pairs: (id_a < id_b, cos) for every pair
     with cosine >= threshold — the dedup-decision variant of the
@@ -318,16 +293,16 @@ def cosine_dup_pairs(
     as ``cosine_topk``: single-block corpora are broadcast against Arrow
     query batches; larger corpora run the same NumPy kernel per cell of a
     cogrouped (query-block x corpus-block) grid — no driver collect, no
-    serial block loop.  Output is one row per unordered pair (each pair
-    shares exactly one grid cell and is emitted from the side with the
-    smaller id), so no merge or dedup stage is needed after the kernel.
+    serial block loop.  Blocks are sized by ``block_rows`` AND
+    ``block_bytes`` (see ``_block_grid_size``).  Output is one row per
+    unordered pair (each pair shares exactly one grid cell and is
+    emitted from the side with the smaller id), so no merge or dedup
+    stage is needed after the kernel.
     """
     scale = 10.0 ** round_digits
     sc = emb.sparkSession.sparkContext
     base = emb.select(id_col, vec_col)
-    n = base.count()
-    # 0.8 safety factor: hash blocks are statistical, see cosine_topk
-    n_blocks = max(1, -(-n // max(1, int(block_rows * 0.8))))
+    n, n_blocks = _block_grid_size(base, vec_col, block_rows, block_bytes)
 
     def _pairs_of(q_ids, q, c_ids, c_mat, c_norms):
         import pandas as pd

@@ -325,10 +325,15 @@ def substring_pairs(
                 span = py_anchored_span(ta, tb, anchors(ta), anchors(tb), gram)
                 if span >= min_len:
                     rows.append((ia, ib, int(span)))  # ids pass through
+            # int64 ids stay int64 Series on the default 64-bit path (same
+            # branch as fingerprint_docs above); struct ids need object
+            id_dtype = (
+                "int64" if pdf["id_a"].dtype.kind in "iu" else "object"
+            )
             yield pd.DataFrame(
                 {
-                    "id_a": pd.Series([r[0] for r in rows], dtype="object"),
-                    "id_b": pd.Series([r[1] for r in rows], dtype="object"),
+                    "id_a": pd.Series([r[0] for r in rows], dtype=id_dtype),
+                    "id_b": pd.Series([r[1] for r in rows], dtype=id_dtype),
                     "span_len": pd.Series([r[2] for r in rows], dtype="int64"),
                 }
             )

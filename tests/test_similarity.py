@@ -174,3 +174,47 @@ def test_ann_ivf_deterministic(emb_df):
         ["vec_id", "rank"], ignore_index=True
     )
     assert a.equals(b)
+
+
+def test_byte_budget_forces_grid_on_high_d(spark):
+    """A high-dimensional corpus must leave the driver-collect path well
+    below ``block_rows`` rows: with 256-d vectors and a 64 KiB budget the
+    byte cap binds (64KiB/(256*8) = 32 rows/block), the grid path runs,
+    and output is bit-identical to the single-block path."""
+    from duplicate_image_detector_spark.operators.similarity import (
+        _block_grid_size,
+        cosine_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for c in range(20):
+        center = rng.standard_normal(256)
+        for j in range(6):
+            v = center + 0.03 * rng.standard_normal(256)
+            rows.append((c * 6 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.persist()
+    df.count()
+
+    n, blocks = _block_grid_size(
+        df, "embedding", block_rows=262144, block_bytes=64 << 10
+    )
+    assert n == 120 and blocks > 1  # byte cap binds, row cap never would
+
+    single = cosine_topk(df, k=3).toPandas().sort_values(
+        ["vec_id", "rank"], ignore_index=True
+    )
+    grid = cosine_topk(
+        df, k=3, block_bytes=64 << 10
+    ).toPandas().sort_values(["vec_id", "rank"], ignore_index=True)
+    assert single.equals(grid)
+
+    p_single = cosine_dup_pairs(df, threshold=0.9).toPandas().sort_values(
+        ["id_a", "id_b"], ignore_index=True
+    )
+    p_grid = cosine_dup_pairs(
+        df, threshold=0.9, block_bytes=64 << 10
+    ).toPandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    df.unpersist()
+    assert len(p_single) > 0 and p_single.equals(p_grid)
