@@ -567,20 +567,84 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+_ANN_COPIES = 6  # planted near-dup family size (k=5 true neighbors each)
+
+
+def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings expanded to _ANN_COPIES deterministically-perturbed
+    copies per vector: each copy's true top-5 neighbors are its 5 family
+    mates (mutual cos ~0.9999, far above the ~0.51 max cross-family
+    cosine of the synthetic table), so ANN recall vs brute force is a
+    meaningful, reproducible quantity.  The raw synthetic embeddings are
+    near-random — no neighbor structure for ANY sublinear index to
+    exploit — which is a property of the fixture, not of the operator;
+    the planted families restore the regime ANN is specified for.
+    Perturbation is a hash of (vec_id, copy, coordinate): no RNG, same
+    corpus every run and every scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.explode(
+            F.array(*[F.lit(r) for r in range(_ANN_COPIES)])
+        ).alias("_r"),
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + (
+            F.pmod(F.xxhash64(F.col("vec_id"), F.col("_r"), i), F.lit(1000))
+            - F.lit(500)
+        ).cast("double")
+        / F.lit(50000.0),
+    )
+    return copies.select(
+        (F.col("vec_id") * _ANN_COPIES + F.col("_r")).alias("vec_id"),
+        pert.alias("embedding"),
+    )
+
+
+def _ann_recall_gate(spark: SparkSession, sf_dir: str, ann_fn) -> DataFrame:
+    """One-row, driver-value-checkable ANN summary: (n_queries, k,
+    recall_ok) where recall_ok asserts recall >= 0.9 against an
+    in-engine exact brute force on the same planted corpus.  Both sides
+    are deterministic (seeded index, hash-perturbed corpus), so the row
+    hash-matches a constant oracle — upgrading these gates from the
+    rows-only check they carried while returning raw approximate top-k."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _planted_ann_corpus(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    emb.count()
+    brute = cosine_topk(emb, k=5).persist(StorageLevel.MEMORY_AND_DISK)
+    n_brute = brute.count()
+    ann = ann_fn(emb)
+    n_hit = ann.join(brute, ["vec_id", "neighbor_id"], "left_semi").count()
+    ann.unpersist()
+    brute.unpersist()
+    emb.unpersist()
+    recall = n_hit / max(n_brute, 1)
+    return spark.createDataFrame(
+        [(n_brute // 5, 5, int(recall >= 0.9))],
+        "n_queries bigint, k int, recall_ok int",
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate by construction -> no SQL oracle (driver rows-only check);
-    # recall vs brute force is asserted in tests/test_similarity.py
-    return ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    return _ann_recall_gate(
+        spark, sf_dir, lambda emb: ann_lsh_topk(emb, k=5)
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate by construction -> rows-only driver check; recall >= 0.9
-    # vs brute force asserted in tests/test_similarity.py
     from duplicate_image_detector_spark.operators.similarity import (
         ann_ivf_topk,
     )
 
-    return ann_ivf_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    return _ann_recall_gate(
+        spark, sf_dir, lambda emb: ann_ivf_topk(emb, k=5)
+    )
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,6 +1258,13 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+_ANN_RECALL_SQL = f"""
+SELECT (count(*) * {_ANN_COPIES})::BIGINT AS n_queries,
+       5 AS k, 1 AS recall_ok
+FROM embeddings
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_canon_clusters": _EXACT_CANON_SQL,
@@ -1267,7 +1338,12 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) >= 0.35
 """,
-        # ann_lsh_topk / ann_ivf_topk: approximate -> rows-only check, no oracle
+        # ANN gates return a one-row (n_queries, k, recall_ok) summary:
+        # recall vs an in-engine brute force on the planted-family corpus
+        # (_planted_ann_corpus) must be >= 0.9 — value-checked, not
+        # rows-only; n_queries is _ANN_COPIES rows per embeddings row
+        "ann_lsh_topk": _ANN_RECALL_SQL,
+        "ann_ivf_topk": _ANN_RECALL_SQL,
         "tpch_q1": _Q1_SQL,
         "top_orders_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("

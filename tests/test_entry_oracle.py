@@ -73,9 +73,9 @@ def test_query_matches_oracle(spark, name):
 
 
 def test_all_queries_have_oracle_or_reason():
-    missing = set(QUERIES) - set(ORACLES)
-    # approximate operators are rows-only by design
-    assert missing == {"ann_lsh_topk", "ann_ivf_topk"}, missing
+    # every gate is value-checked — the ANN gates emit a one-row recall
+    # summary precisely so no query is left on the weaker rows-only check
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_entry_smoke(spark):
