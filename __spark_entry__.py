@@ -377,6 +377,51 @@ def q_incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_id")
 
 
+def q_daily_loop_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED daily-crawl loop (plans/daily.py) run for two days —
+    day 1 = docs with pmod(doc_id, 8) != 0, day 2 = the rest — in a fresh
+    temp state dir: per-day checkpoints, precomputed-signature reuse,
+    all three evidence tiers, touched-component cluster maintenance, and
+    the versioned ClusterStore refresh.  The final store assignment must
+    equal the BATCH pipeline's clusters over the full corpus, i.e. the
+    same DuckDB oracle as pipeline_clusters (exact ∪ near ∪ substring
+    edges → connected components).  This is the composition the per-
+    operator incremental gates never exercise end-to-end."""
+    import shutil
+    import tempfile
+
+    from pyspark.storagelevel import StorageLevel
+
+    from duplicate_image_detector_spark.plans.daily import DailyDedup
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    pages = docs.select(url.alias("url"), "text")
+    is_new = F.pmod(F.col("doc_id"), F.lit(8)) == 0
+    state = tempfile.mkdtemp(prefix="daily_gate_")
+    try:
+        dd = DailyDedup(spark, state, CFG_GATE, hash_kind="md5")
+        dd.run_day(pages.where(~is_new), "day1")
+        dd.run_day(pages.where(is_new), "day2")
+        assigned = dd.store.read(include_deleted=True).select(
+            "url", "cluster_id"
+        )
+        # map xxhash64 ids back to table doc_ids and re-minimize labels,
+        # exactly like the pipeline_clusters gate
+        m = docs.select(url.alias("url"), F.col("doc_id").alias("orig"))
+        withorig = assigned.join(m, "url")
+        lab = withorig.groupBy("cluster_id").agg(F.min("orig").alias("cmin"))
+        out = withorig.join(lab, "cluster_id").select(
+            F.col("orig").alias("doc_id"), F.col("cmin").alias("cluster_id")
+        )
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        _GATE_RESULTS.append(out)
+        return out
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming <= max over the md5-60bit base hash via EXACT
     pigeonhole banding (4 x 15-bit chunk equi-joins + bit_count verify) —
@@ -862,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_id128": q_near_dup_clusters_id128,
         "pipeline_clusters": q_pipeline_clusters,
         "pipeline_clusters_exclude_exact": q_pipeline_clusters_exclude_exact,
+        "daily_loop_clusters": q_daily_loop_clusters,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "incremental_near_pairs": q_incremental_near_pairs,
         "incremental_cluster_update": q_incremental_cluster_update,
@@ -1275,6 +1321,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters_id128": _CC_SQL,
         "pipeline_clusters": _PIPELINE_CC_SQL,
         "pipeline_clusters_exclude_exact": _PIPELINE_CC_SQL,
+        # two-day incremental loop == the batch pipeline over the union
+        "daily_loop_clusters": _PIPELINE_CC_SQL,
         "simhash_hamming_pairs": _SIMHASH_SQL,
         "incremental_near_pairs": _INCREMENTAL_NEAR_SQL,
         # cluster maintenance must reproduce the full-corpus near CC

@@ -294,6 +294,18 @@ def substring_pairs(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).where(F.col("text").isNotNull())
     cands = fingerprint_candidate_pairs(fingerprint_docs(src, cfg), cfg)
+    return verify_span_pairs(cands, src, cfg)
+
+
+def verify_span_pairs(
+    cands: DataFrame, src: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs + (doc_id, text) source -> verified
+    (id_a, id_b, span_len, tier='substring') rows with a shared exact
+    span >= cfg.substring_min_len chars.  The verify stage of
+    ``substring_pairs``, exposed so candidate generation can come from
+    elsewhere (e.g. the incremental daily loop's delta-vs-corpus
+    fingerprint join) while the span kernel stays one code path."""
     with_text = (
         cands.join(src.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")), "id_a")
         .join(src.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")), "id_b")

@@ -1,0 +1,333 @@
+"""Daily-crawl dedup driver: the incremental pieces composed end-to-end.
+
+The reference processes a directory once and caches per-file work
+(/root/reference/duplicate-detector.py:2700-2718 — only new/changed files
+re-hash).  At webtext scale the analogous production shape is a DAILY
+LOOP: yesterday's corpus is already signed and clustered; today's crawl
+delta must be deduped against it without re-running the corpus-wide
+self-join.  This module chains the individually-gated operators into that
+loop, with durable per-day checkpoints and crash resume:
+
+    run_day(pages, day):
+      docs        delta pages -> (doc_id, url, text) after validity +
+                  anti-join against the corpus (re-crawled urls dropped)
+      signatures  compute_signatures(delta) — appended to the store that
+                  future days read as ``existing_sig`` (the precomputed-
+                  signature fast path, never recomputed)
+      exact_keys  (doc_id, sha256(text)) — the exact tier's key store
+      substr_fps  content-defined fingerprints — the substring tier's store
+      pairs       all three evidence tiers, delta-touching only:
+                    exact:     within-delta stars UNION delta keys joined
+                               against ONE pivot row per distinct old key
+                               (min old doc_id) — O(1) old rows per key,
+                               connectivity-exact with no cap or recall
+                               loss: old members of the key already connect
+                               to that pivot in the old clustering
+                    near:      incremental_near_pairs(existing_sig=store)
+                               (LSH + SimHash arms, capped cross join)
+                    substring: delta fingerprints self-join UNION
+                               delta-vs-store fp equi-join (old-side
+                               pivot-capped like the near tier), anchored
+                               span verify — one kernel with the batch path
+      clusters    incremental_update_clusters: touched components only
+      store       ClusterStore.init (first day) / apply_update (soft-delete
+                  status preserved across refreshes by the deletion ledger)
+
+Equivalence contract (tested in tests/test_daily.py): in the under-cap
+regime, after any number of days the store's (doc_id, cluster_id)
+assignment EQUALS run_pipeline() over the union of all days' pages.  The
+first day needs no special bootstrap — with an empty corpus every cross
+arm is empty and the within-delta arms ARE the batch generators.
+
+Cost per day is O(|delta| + |touched|): the corpus contributes one scan
+of its signature/key/fingerprint stores (equi-joined on delta buckets),
+text reads for candidate endpoints only, and cluster relabeling for
+touched components only — never a corpus-wide shuffle.
+
+Crash semantics: every stage is a config-hash-keyed CheckpointManager
+stage, so a rerun of an interrupted day resumes at the first incomplete
+stage.  The day is appended to the manifest only after the store commit;
+a crash between commit and manifest append makes the rerun re-commit an
+identical snapshot (a new version, same rows) — versions are cheap,
+corruption impossible.  Urls are treated as immutable content keys (a
+re-crawl of a known url is dropped); content updates are modeled as
+delete + new url, matching crawl-snapshot conventions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.config import PipelineConfig
+from duplicate_image_detector_spark.functions.text import text_sha256_col
+from duplicate_image_detector_spark.operators.exact import (
+    exact_clusters,
+    exact_pair_edges,
+)
+from duplicate_image_detector_spark.operators.incremental_pairs import (
+    _delta_cross_candidates,
+    incremental_near_pairs,
+    incremental_update_clusters,
+)
+from duplicate_image_detector_spark.operators.signatures import (
+    compute_signatures,
+)
+from duplicate_image_detector_spark.operators.substring import (
+    fingerprint_candidate_pairs,
+    fingerprint_docs,
+    verify_span_pairs,
+)
+from duplicate_image_detector_spark.sources.checkpoints import (
+    CheckpointManager,
+)
+from duplicate_image_detector_spark.sources.cluster_store import ClusterStore
+
+_MANIFEST = "_DAYS.json"
+_STATE_STAGES = ("docs", "signatures", "exact_keys", "substr_fps")
+
+
+@dataclass
+class DailyDedup:
+    """Durable daily-dedup state rooted at ``state_dir``.
+
+    Layout: ``{state_dir}/days/{day}/`` per-day CheckpointManager roots,
+    ``{state_dir}/store/`` the serving ClusterStore,
+    ``{state_dir}/_DAYS.json`` the committed-day manifest (append order =
+    corpus accretion order).
+    """
+
+    spark: SparkSession
+    state_dir: str
+    cfg: PipelineConfig = field(default_factory=PipelineConfig)
+    hash_kind: str = "poly"
+    enable_substring: bool = True
+
+    # -- manifest --------------------------------------------------------
+
+    def days(self) -> list[str]:
+        p = os.path.join(self.state_dir, _MANIFEST)
+        if not os.path.exists(p):
+            return []
+        with open(p) as fh:
+            return json.load(fh)["days"]
+
+    def _append_day(self, day: str) -> None:
+        days = self.days()
+        days.append(day)
+        tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"days": days}, fh)
+        os.replace(tmp, os.path.join(self.state_dir, _MANIFEST))
+
+    # -- corpus-state readers (union over committed days) ----------------
+
+    def _ckpt(self, day: str) -> CheckpointManager:
+        return CheckpointManager(
+            self.spark,
+            os.path.join(self.state_dir, "days", day),
+            self.cfg,
+            extra_key=json.dumps(
+                {
+                    "day": day,
+                    "hash_kind": self.hash_kind,
+                    "substring": self.enable_substring,
+                },
+                sort_keys=True,
+            ),
+        )
+
+    def _state(self, stage: str) -> DataFrame | None:
+        """Union of one durable stage across all committed days — the
+        corpus-side store the delta joins against.  Parquet column
+        pruning keeps narrow reads narrow (e.g. the anti-join reads only
+        ``doc_id``)."""
+        paths = [
+            self._ckpt(day).stage_path(stage)
+            for day in self.days()
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    @property
+    def store(self) -> ClusterStore:
+        return ClusterStore(self.spark, os.path.join(self.state_dir, "store"))
+
+    # -- the loop --------------------------------------------------------
+
+    def run_day(self, pages: DataFrame, day: str) -> dict:
+        """Ingest one day's crawl; returns per-day stats.  Idempotent:
+        a committed day is a no-op; an interrupted day resumes at its
+        first incomplete stage."""
+        if day in self.days():
+            return {"day": day, "skipped": True}
+        os.makedirs(self.state_dir, exist_ok=True)
+        ckpt = self._ckpt(day)
+        cfg, hash_kind = self.cfg, self.hash_kind
+        old_docs = self._state("docs")
+        old_sigs = self._state("signatures")
+        old_keys = self._state("exact_keys")
+        old_fps = self._state("substr_fps")
+
+        def _docs() -> DataFrame:
+            src = pages.select("url", "text")
+            valid = src.where(
+                F.col("text").isNotNull()
+                & (F.length("text") >= cfg.min_text_len)
+            ).select(F.xxhash64("url").alias("doc_id"), "url", "text")
+            if old_docs is None:
+                return valid
+            return valid.join(
+                old_docs.select("doc_id"), "doc_id", "left_anti"
+            )
+
+        docs = ckpt.run("docs", _docs)
+        signatures = ckpt.run(
+            "signatures",
+            lambda: compute_signatures(
+                docs, cfg, include_shingles=False, hash_kind=hash_kind
+            ),
+        )
+        exact_keys = ckpt.run(
+            "exact_keys",
+            lambda: docs.select(
+                "doc_id", text_sha256_col(F.col("text")).alias("text_sha256")
+            ),
+        )
+        substr_fps = (
+            ckpt.run("substr_fps", lambda: fingerprint_docs(docs, cfg))
+            if self.enable_substring
+            else None
+        )
+
+        def _pairs() -> DataFrame:
+            from pyspark.storagelevel import StorageLevel
+
+            # exact tier: within-delta stars + delta keys vs per-key old
+            # pivots (exactly one old row per distinct key — see module doc)
+            parts = [
+                exact_pair_edges(exact_clusters(docs, cfg)).select(
+                    "id_a", "id_b",
+                    F.lit(1.0).alias("score"), F.lit("exact").alias("tier"),
+                )
+            ]
+            if old_keys is not None:
+                pivots = old_keys.groupBy("text_sha256").agg(
+                    F.min("doc_id").alias("_old")
+                )
+                cross = exact_keys.join(pivots, "text_sha256").select(
+                    F.least("doc_id", "_old").alias("id_a"),
+                    F.greatest("doc_id", "_old").alias("id_b"),
+                    F.lit(1.0).alias("score"),
+                    F.lit("exact").alias("tier"),
+                ).where(F.col("id_a") != F.col("id_b"))
+                parts.append(cross)
+
+            # near tier: the gated incremental operator, on the
+            # PRECOMPUTED signature store (the production fast path)
+            empty_docs = self.spark.createDataFrame(
+                [], "doc_id bigint, text string"
+            )
+            near = incremental_near_pairs(
+                old_docs if old_docs is not None else empty_docs,
+                docs,
+                cfg,
+                existing_sig=old_sigs,
+                hash_kind=hash_kind,
+            )
+            parts.append(
+                near.select(
+                    "id_a", "id_b",
+                    F.col("jaccard").alias("score"), "tier",
+                )
+            )
+
+            # substring tier: delta fp self-join + delta-vs-store fp join
+            if substr_fps is not None:
+                cands = fingerprint_candidate_pairs(substr_fps, cfg)
+                if old_fps is not None:
+                    cands = cands.unionByName(
+                        _delta_cross_candidates(
+                            substr_fps, old_fps, ["fp"], cfg.max_bucket
+                        )
+                    )
+                corpus = (
+                    docs.select("doc_id", "text")
+                    if old_docs is None
+                    else docs.select("doc_id", "text").unionByName(
+                        old_docs.select("doc_id", "text")
+                    )
+                )
+                spans = verify_span_pairs(
+                    cands.dropDuplicates(["id_a", "id_b"]), corpus, cfg
+                )
+                parts.append(
+                    spans.select(
+                        "id_a", "id_b",
+                        F.lit(0.5).alias("score"), "tier",
+                    )
+                )
+
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out = out.dropDuplicates(["id_a", "id_b", "tier"]).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            out.count()
+            near.unpersist()
+            return out
+
+        pairs = ckpt.run("pairs", _pairs)
+
+        def _clusters() -> DataFrame:
+            if self.days():
+                old_clusters = self.store.read(include_deleted=True).select(
+                    "doc_id", "cluster_id"
+                )
+            else:
+                old_clusters = self.spark.createDataFrame(
+                    [], "doc_id bigint, cluster_id bigint"
+                )
+            return incremental_update_clusters(
+                old_clusters,
+                pairs.select("id_a", "id_b"),
+                work_dir=os.path.join(ckpt.root, "_cc_work"),
+            )
+
+        clusters = ckpt.run("clusters", _clusters)
+
+        # store refresh: assignment + url, min-id representative (the CC
+        # label), soft-delete status re-applied by the store's ledger
+        corpus_urls = (
+            docs.select("doc_id", "url")
+            if old_docs is None
+            else docs.select("doc_id", "url").unionByName(
+                old_docs.select("doc_id", "url")
+            )
+        )
+        snapshot = clusters.join(corpus_urls, "doc_id").select(
+            "doc_id",
+            "cluster_id",
+            "url",
+            (F.col("doc_id") == F.col("cluster_id")).alias(
+                "is_representative"
+            ),
+        )
+        if self.days():
+            version = self.store.apply_update(snapshot)
+        else:
+            version = self.store.init(snapshot)
+        self._append_day(day)
+        return {
+            "day": day,
+            "n_delta_docs": docs.count(),
+            "n_new_pairs": pairs.count(),
+            "n_clustered_docs": clusters.count(),
+            "store_version": version,
+        }

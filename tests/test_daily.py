@@ -1,0 +1,116 @@
+"""Daily-crawl loop composed end-to-end (plans/daily.py): multi-day
+equivalence with the batch pipeline, mid-day crash resume, re-crawl
+dropping, deletion preservation, idempotent day commits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import duplicate_image_detector_spark.plans.daily as daily_mod
+from duplicate_image_detector_spark.plans.daily import DailyDedup
+from duplicate_image_detector_spark.plans.pipeline import run_pipeline
+
+
+def _assignment(df):
+    return {(r["doc_id"], r["cluster_id"]) for r in df.collect()}
+
+
+def _batch_assignment(spark, pages, cfg):
+    res = run_pipeline(spark, pages, cfg)
+    got = _assignment(res.clusters.select("doc_id", "cluster_id"))
+    res.ckpt.unpersist_all()
+    return got
+
+
+def test_daily_loop_end_to_end(spark, tiny_corpus, cfg, tmp_path, monkeypatch):
+    pages_pd, _ = tiny_corpus
+    pages = spark.createDataFrame(pages_pd[["url", "text"]]).persist()
+    pages.count()
+    day_of = F.pmod(F.xxhash64("url"), F.lit(3))
+    day_pages = [pages.where(day_of == d).persist() for d in range(3)]
+    unions = [pages.where(day_of <= d) for d in range(3)]
+
+    dd = DailyDedup(spark, str(tmp_path / "state"), cfg)
+
+    # ---- day 1: no special bootstrap; equals the batch run on day-1 pages
+    s1 = dd.run_day(day_pages[0], "d1")
+    assert not s1.get("skipped") and s1["n_delta_docs"] > 0
+    got1 = _assignment(
+        dd.store.read(include_deleted=True).select("doc_id", "cluster_id")
+    )
+    want1 = _batch_assignment(spark, day_pages[0], cfg)
+    assert want1, "day-1 fixture must produce clusters (non-vacuous)"
+    assert got1 == want1
+
+    # ---- reviewer deletes one clustered doc between crawls
+    victim = next(iter(got1))[0]
+    dd.store.soft_delete([int(victim)])
+
+    # ---- day 2: crash mid-run (after pairs, before clusters), then resume
+    orig = daily_mod.incremental_update_clusters
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(daily_mod, "incremental_update_clusters", boom)
+    # day-2 input includes a re-crawl of a day-1 url (changed text): urls
+    # are immutable content keys, so the re-crawl must be dropped
+    recrawl = day_pages[0].limit(1).select(
+        "url", F.concat(F.lit("CHANGED "), "text").alias("text")
+    )
+    d2_pages = day_pages[1].unionByName(recrawl)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dd.run_day(d2_pages, "d2")
+    monkeypatch.setattr(daily_mod, "incremental_update_clusters", orig)
+
+    # the crash landed after the pairs stage: resume must not recompute it
+    assert dd._ckpt("d2").is_complete("pairs")
+    assert dd.days() == ["d1"]  # the day never committed
+    s2 = dd.run_day(d2_pages, "d2")
+    assert dd.days() == ["d1", "d2"]
+
+    # re-crawled url dropped: delta size == day-2's own valid docs
+    n_d2_valid = (
+        day_pages[1]
+        .where(
+            F.col("text").isNotNull()
+            & (F.length("text") >= cfg.min_text_len)
+        )
+        .count()
+    )
+    assert s2["n_delta_docs"] == n_d2_valid
+
+    # two-day state equals the batch run over day-1 ∪ day-2 pages
+    got2 = _assignment(
+        dd.store.read(include_deleted=True).select("doc_id", "cluster_id")
+    )
+    assert got2 == _batch_assignment(spark, unions[1], cfg)
+
+    # the deletion survived the refresh (the ledger, not the snapshot,
+    # is the durable record)
+    status = {
+        r["doc_id"]: r["status"]
+        for r in dd.store.read(include_deleted=True).collect()
+    }
+    assert status[victim] == "deleted"
+
+    # ---- day 3 on a fresh driver object (state is durable, not cached)
+    dd3 = DailyDedup(spark, str(tmp_path / "state"), cfg)
+    dd3.run_day(day_pages[2], "d3")
+    got3 = _assignment(
+        dd3.store.read(include_deleted=True).select("doc_id", "cluster_id")
+    )
+    assert got3 == _batch_assignment(spark, unions[2], cfg)
+    status3 = {
+        r["doc_id"]: r["status"]
+        for r in dd3.store.read(include_deleted=True).collect()
+    }
+    assert status3[victim] == "deleted"
+
+    # ---- committed days are idempotent no-ops
+    assert dd3.run_day(day_pages[0], "d1") == {"day": "d1", "skipped": True}
+
+    for d in day_pages:
+        d.unpersist()
+    pages.unpersist()
