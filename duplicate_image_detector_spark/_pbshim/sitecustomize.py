@@ -6,6 +6,12 @@ transformWithState streaming driver worker) repeats the vendored-protobuf
 fallback before pyspark's ``*_pb2`` modules import.  No-op when
 ``google.protobuf`` is already importable.  See ``compat.py`` for the
 rationale (namespace-package eviction, minor-version gencode relaxation).
+
+Python imports only the FIRST ``sitecustomize`` found on ``sys.path``;
+since this shim occupies that slot it also CHAIN-LOADS the next
+``sitecustomize.py`` further down the path, so a user-provided or
+site-provided startup hook still runs (matching stdlib ``site`` behavior
+of printing, not raising, on a failing hook).
 """
 
 import os
@@ -36,4 +42,32 @@ def _ensure() -> None:
         pass
 
 
+def _chain_next_sitecustomize() -> None:
+    import importlib.util
+    import traceback
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for entry in sys.path:
+        d = os.path.abspath(entry) if entry else os.getcwd()
+        if d == here:
+            continue
+        cand = os.path.join(d, "sitecustomize.py")
+        if not os.path.isfile(cand):
+            continue
+        spec = importlib.util.spec_from_file_location("sitecustomize", cand)
+        if spec is None or spec.loader is None:
+            return
+        mod = importlib.util.module_from_spec(spec)
+        # register under the canonical name so `import sitecustomize`
+        # resolves to the user's hook, not this shim
+        sys.modules["sitecustomize"] = mod
+        try:
+            spec.loader.exec_module(mod)
+        except Exception:
+            print(f"Error in chained sitecustomize ({cand}):", file=sys.stderr)
+            traceback.print_exc()
+        return
+
+
 _ensure()
+_chain_next_sitecustomize()

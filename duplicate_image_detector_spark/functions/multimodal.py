@@ -259,7 +259,15 @@ def sample_frames(
     codec treats the payload as consecutive ``frame_bytes`` chunks with
     the same sampling rule.  Output explodes rows, so the stage runs
     BEFORE any shuffle of the (large) media column — downstream operators
-    see only the (small) sampled frames."""
+    see only the (small) sampled frames.
+
+    An UNDECODABLE input (cv2 cannot open it / zero frames decode / the
+    fake header is corrupt) emits ONE error row ``(url, frame_idx=-1,
+    frame=null)`` instead of silently contributing nothing — the
+    _media_stage design note says decode problems must be observable,
+    and a dropped row is indistinguishable from a frameless video.
+    Filter ``frame_idx >= 0`` for the clean stream; count ``-1`` rows
+    for the decode-failure audit."""
     codec = _resolve_codec(codec, video=True)
 
     def cv2_frames(raw: bytes) -> list[tuple[int, bytes]]:
@@ -273,21 +281,27 @@ def sample_frames(
             fh.write(raw)
             path = fh.name
         out: list[tuple[int, bytes]] = []
+        idx = 0
         try:
             cap = cv2.VideoCapture(path)
-            idx = 0
-            while len(out) < max_frames:
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                if idx % every_n == 0:
-                    ok2, buf = cv2.imencode(".png", frame)
-                    if ok2:
-                        out.append((idx, buf.tobytes()))
-                idx += 1
-            cap.release()
+            try:
+                if not cap.isOpened():
+                    raise ValueError("cv2 could not open media payload")
+                while len(out) < max_frames:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    if idx % every_n == 0:
+                        ok2, buf = cv2.imencode(".png", frame)
+                        if ok2:
+                            out.append((idx, buf.tobytes()))
+                    idx += 1
+            finally:
+                cap.release()
         finally:
             os.unlink(path)
+        if not out and idx == 0:
+            raise ValueError("cv2 opened media but decoded zero frames")
         return out
 
     def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -308,7 +322,7 @@ def sample_frames(
                         for i in range(0, n, every_n)
                     ][:max_frames]
             except Exception:
-                continue
+                sampled = [(-1, None)]  # decode-failure audit row
             for i, frame in sampled:
                 urls.append(url)
                 idxs.append(i)

@@ -115,7 +115,12 @@ class _TextExtractor(HTMLParser):
       * comments, processing instructions, and everything inside
         ``_SKIP_TAGS`` dropped;
       * ``head`` content dropped; a missing ``</head>`` is auto-closed at
-        ``<body>`` (browser behavior, survives truncated markup);
+        ``<body>`` OR at the first block-level start tag (browser
+        behavior, survives truncated markup);
+      * data inside an UNTERMINATED ``<script>``/``<style>`` stays
+        dropped through EOF — deliberate: that data is script payload,
+        and "recovering" it would inject code into extracted text
+        (browsers swallow it the same way);
       * block-element boundaries split paragraphs; inline tags don't;
       * within a paragraph, whitespace runs (incl. NBSP) collapse to one
         space; paragraphs join with ``\\n``.
@@ -139,8 +144,12 @@ class _TextExtractor(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "head":
             self._in_head = True
-        elif tag == "body":
-            self._in_head = False  # auto-close a dangling <head>
+        elif tag == "body" or (self._in_head and tag in _BLOCK_TAGS):
+            # auto-close a dangling <head>: browsers implicitly open
+            # <body> at the first block-level start tag, so truncated
+            # markup that never writes </head> or <body> (a real
+            # Common-Crawl shape) must not drop the whole page
+            self._in_head = False
         if tag in _SKIP_TAGS:
             self._skip += 1
         elif tag in _BLOCK_TAGS:

@@ -72,6 +72,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # when the protobuf shim is active, also deliver its PYTHONPATH via
+    # Spark conf: executorEnv reaches real-cluster executors that do NOT
+    # inherit the driver process env (the os.environ export in compat.py
+    # stays necessary for the transformWithState streaming driver worker,
+    # which the driver-side JVM forks directly from its own environment)
+    if os.environ.get("DEDUP_PROTOBUF_PATH") and os.environ.get("PYTHONPATH"):
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
+        ).config(
+            "spark.executorEnv.DEDUP_PROTOBUF_PATH",
+            os.environ["DEDUP_PROTOBUF_PATH"],
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -92,11 +92,20 @@ def test_sample_frames_fake(spark):
     rows = [("vid1", _blob(8, 8, payload), "video"), ("bad", bytearray(b"nope"), "video")]
     df = spark.createDataFrame(rows, "url string, media binary, media_type string")
     out = sample_frames(df, every_n=2, frame_bytes=64, max_frames=5, codec="fake").collect()
-    got = {(r["url"], r["frame_idx"]): bytes(r["frame"]) for r in out}
-    # every 2nd frame, capped at 5; corrupt row contributes nothing
-    assert sorted(i for (_, i) in got) == [0, 2, 4, 6, 8]
-    assert got[("vid1", 2)] == payload[2 * 64 : 3 * 64]
-    assert all(u == "vid1" for (u, _) in got)
+    good = {
+        (r["url"], r["frame_idx"]): bytes(r["frame"])
+        for r in out
+        if r["frame_idx"] >= 0
+    }
+    # every 2nd frame, capped at 5
+    assert sorted(i for (_, i) in good) == [0, 2, 4, 6, 8]
+    assert good[("vid1", 2)] == payload[2 * 64 : 3 * 64]
+    assert all(u == "vid1" for (u, _) in good)
+    # the corrupt row is SURFACED as an audit row, never silently dropped
+    bad = [r for r in out if r["frame_idx"] < 0]
+    assert [(r["url"], r["frame_idx"], r["frame"]) for r in bad] == [
+        ("bad", -1, None)
+    ]
 
 
 def test_stub_raises_even_on_null_media(spark):

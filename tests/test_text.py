@@ -92,6 +92,13 @@ ADVERSARIAL = [
     (b"<p>a&nbsp;&nbsp;b</p>", "a b"),
     (b"<p>  a \t b\n c  </p>", "a b c"),
     (b"", ""),
+    # truncated crawl: unclosed <head>, no <body> — the first block-level
+    # start tag implicitly closes head (browser behavior); page not empty
+    (b"<html><head><title>t</title><p>kept text</p>", "kept text"),
+    (b"<head><meta charset=utf-8><div>body text</div>", "body text"),
+    # unterminated <script>: remainder is script PAYLOAD and stays dropped
+    # (recovering it would inject code into extracted text)
+    (b"<p>before</p><script>var x = 'tail", "before"),
 ]
 
 
