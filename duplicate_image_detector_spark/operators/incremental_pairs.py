@@ -117,6 +117,8 @@ def incremental_near_pairs(
     existing_sig: DataFrame | None = None,
     hash_kind: str = "poly",
     old_fanin_cap: int | None | str = "auto",
+    existing_bands: DataFrame | None = None,
+    existing_chunks: DataFrame | None = None,
 ) -> DataFrame:
     """(old corpus, new delta) -> verified near-tier pairs touching >= 1
     delta document: (id_a, id_b, jaccard, hamming, tier='near').
@@ -137,6 +139,17 @@ def incremental_near_pairs(
     new-x-old candidate.  When None the signatures are computed here
     (correct, but forfeits the incremental savings — tests and the
     oracle gate use that mode).
+
+    ``existing_bands`` / ``existing_chunks``: the MATERIALIZED LSH index
+    of the old corpus — (doc_id, band_id, band_hash) and (doc_id,
+    chunk_id, val) tables (``explode_bands`` / ``simhash_key_rows``
+    shapes, e.g. the ``band_rows``/``chunk_rows`` stages the daily loop
+    persists).  When given, the cross arms equi-join them directly;
+    when None they are derived from ``sig_old`` — correct, but that
+    re-evaluates the banding expressions over the WHOLE corpus every
+    run, which the A/B in BENCH/scaling_incremental.json prices (the
+    index tables are ~17 narrow rows/doc, the natural durable form of
+    LSH state at 10^12 docs).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -162,15 +175,25 @@ def incremental_near_pairs(
     )
 
     # new x old: delta buckets joined against the old band/chunk tables
+    old_bands = (
+        existing_bands
+        if existing_bands is not None
+        else explode_bands(sig_old, cfg)
+    )
+    old_chunks = (
+        existing_chunks
+        if existing_chunks is not None
+        else _chunk_rows(sig_old, cfg)
+    )
     no_lsh = _delta_cross_candidates(
         explode_bands(sig_new, cfg),
-        explode_bands(sig_old, cfg),
+        old_bands,
         ["band_id", "band_hash"],
         old_fanin_cap,
     )
     no_ham = _delta_cross_candidates(
         _chunk_rows(sig_new, cfg),
-        _chunk_rows(sig_old, cfg),
+        old_chunks,
         ["chunk_id", "val"],
         old_fanin_cap,
     )

@@ -70,10 +70,12 @@ from duplicate_image_detector_spark.operators.exact import (
     exact_pair_edges,
 )
 from duplicate_image_detector_spark.operators.incremental_pairs import (
+    _chunk_rows,
     _delta_cross_candidates,
     incremental_near_pairs,
     incremental_update_clusters,
 )
+from duplicate_image_detector_spark.operators.lsh import explode_bands
 from duplicate_image_detector_spark.operators.signatures import (
     compute_signatures,
 )
@@ -88,7 +90,10 @@ from duplicate_image_detector_spark.sources.checkpoints import (
 from duplicate_image_detector_spark.sources.cluster_store import ClusterStore
 
 _MANIFEST = "_DAYS.json"
-_STATE_STAGES = ("docs", "signatures", "exact_keys", "substr_fps")
+_STATE_STAGES = (
+    "docs", "signatures", "band_rows", "chunk_rows", "exact_keys",
+    "substr_fps",
+)
 
 
 @dataclass
@@ -146,6 +151,7 @@ class DailyDedup:
         corpus-side store the delta joins against.  Parquet column
         pruning keeps narrow reads narrow (e.g. the anti-join reads only
         ``doc_id``)."""
+        assert stage in _STATE_STAGES, stage
         paths = [
             self._ckpt(day).stage_path(stage)
             for day in self.days()
@@ -171,6 +177,8 @@ class DailyDedup:
         cfg, hash_kind = self.cfg, self.hash_kind
         old_docs = self._state("docs")
         old_sigs = self._state("signatures")
+        old_bands = self._state("band_rows")
+        old_chunks = self._state("chunk_rows")
         old_keys = self._state("exact_keys")
         old_fps = self._state("substr_fps")
 
@@ -193,6 +201,11 @@ class DailyDedup:
                 docs, cfg, include_shingles=False, hash_kind=hash_kind
             ),
         )
+        # the materialized LSH index of this delta — future days equi-join
+        # these narrow tables instead of re-evaluating the banding
+        # expressions over the whole corpus (the durable form of LSH state)
+        ckpt.run("band_rows", lambda: explode_bands(signatures, cfg))
+        ckpt.run("chunk_rows", lambda: _chunk_rows(signatures, cfg))
         exact_keys = ckpt.run(
             "exact_keys",
             lambda: docs.select(
@@ -239,6 +252,8 @@ class DailyDedup:
                 cfg,
                 existing_sig=old_sigs,
                 hash_kind=hash_kind,
+                existing_bands=old_bands,
+                existing_chunks=old_chunks,
             )
             parts.append(
                 near.select(

@@ -95,6 +95,40 @@ def test_precomputed_signature_store_reused(spark, tiny_corpus, cfg):
     docs.unpersist()
 
 
+def test_materialized_index_equals_derived(spark, tiny_corpus, cfg):
+    """Passing the durable band/chunk index tables (the daily loop's
+    ``band_rows``/``chunk_rows`` stages) yields exactly the pairs the
+    derive-from-signatures path yields — the index is pure state
+    motion, not a semantics change."""
+    from duplicate_image_detector_spark.operators.incremental_pairs import (
+        _chunk_rows,
+    )
+    from duplicate_image_detector_spark.operators.lsh import explode_bands
+
+    docs = _docs_df(spark, tiny_corpus).persist()
+    docs.count()
+    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    old, delta = docs.where(~is_new), docs.where(is_new)
+    store = compute_signatures(
+        old, cfg, include_shingles=False, hash_kind="poly"
+    ).persist()
+    store.count()
+    bands = explode_bands(store, cfg).persist()
+    chunks = _chunk_rows(store, cfg).persist()
+    bands.count(), chunks.count()
+
+    a = incremental_near_pairs(old, delta, cfg, existing_sig=store)
+    b = incremental_near_pairs(
+        old, delta, cfg, existing_sig=store,
+        existing_bands=bands, existing_chunks=chunks,
+    )
+    got, want = _pairset(b), _pairset(a)
+    assert want, "fixture must yield pairs (non-vacuous)"
+    assert got == want
+    for df in (a, b, bands, chunks, store, docs):
+        df.unpersist()
+
+
 def test_incremental_plan_has_no_quadratic_joins(spark, tiny_corpus, cfg):
     """Every candidate path is an equi-join keyed by bucket — the plan
     must never fall back to CartesianProduct / BroadcastNestedLoopJoin
