@@ -136,7 +136,18 @@ def test_checkpoint_key_isolation_on_v2_catalog(spark, cfg, v2_catalog):
 
 
 @pytest.mark.skipif(
-    True, reason="Iceberg runtime jar not available in this container"
+    True,
+    reason=(
+        "needs org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 "
+        "(the Spark 4.x Iceberg runtime; no maven access and no jar ships "
+        "in this container — verified by filesystem search).  To run: "
+        "start the session with spark.jars.packages=<that coordinate> and "
+        "spark.sql.catalog.dedup=org.apache.iceberg.spark.SparkCatalog "
+        "(type=hadoop, warehouse=<dir>).  The catalog LOGIC already "
+        "executes jar-free against Spark's JDBCTableCatalog-over-Derby V2 "
+        "double in the tests above; only real snapshot commits and "
+        "concurrent-writer behavior remain jar-bound."
+    ),
 )
 def test_stage_roundtrip_on_real_catalog(spark, cfg):  # pragma: no cover
     df = spark.range(5).toDF("doc_id")

@@ -157,7 +157,13 @@ def test_auto_without_pil_fails_loudly(spark, media_df):
         "duplicate_image_detector_spark.functions.multimodal",
         fromlist=["has_pil"],
     ).has_pil(),
-    reason="Pillow not installed in this container",
+    reason=(
+        "needs the Pillow wheel (any >= 9.0; `pip install pillow`) — not "
+        "installed in this container and no vendored copy exists "
+        "(probed site-packages and the gcloud SDK tree).  The codec "
+        "dispatch, 'auto' resolution, and Spark plumbing execute in the "
+        "fake-codec tests above; only the real JPEG decode is wheel-bound."
+    ),
 )
 def test_pil_real_jpeg_path(spark):
     """Real-codec integration: a genuine image decodes, resizes, and
