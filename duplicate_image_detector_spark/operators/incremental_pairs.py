@@ -66,8 +66,15 @@ from duplicate_image_detector_spark.operators.verify import verify_pairs
 
 
 def _chunk_rows(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    # same pigeonhole key layout on both sides (simhash_key_rows default)
-    return simhash_key_rows(sig, cfg).select("doc_id", "chunk_id", "val")
+    # same pigeonhole key layout on both sides (simhash_key_rows default).
+    # simhash rides along so the cross join can apply the Hamming filter
+    # AT the join (see _delta_cross_candidates hamming_max) — without it
+    # every random 16-bit chunk collision (expected n/2^15 old docs per
+    # chunk value) survives to the shingle-verify stage: measured 3.0M
+    # junk candidates for a 50k delta vs 500k corpus, 5.5k real pairs.
+    return simhash_key_rows(sig, cfg).select(
+        "doc_id", "simhash", "chunk_id", "val"
+    )
 
 
 def _delta_cross_candidates(
@@ -75,6 +82,7 @@ def _delta_cross_candidates(
     old_rows: DataFrame,
     keys: list[str],
     old_fanin_cap: int | None,
+    hamming_max: int | None = None,
 ) -> DataFrame:
     """new-side rows x old-side rows sharing a bucket key -> (id_a, id_b)
     canonicalized.
@@ -87,8 +95,29 @@ def _delta_cross_candidates(
     treatment: pivot-bucket members are near-identical (they agree on a
     whole band / pigeonhole chunk) and the old corpus already connects
     them to the pivot, so connected components recovers the cluster.
-    ``None`` disables the cap (oracle-exact mode)."""
-    old = old_rows
+    ``None`` disables the cap (oracle-exact mode).
+
+    Shuffle economy: the delta's distinct bucket keys are BROADCAST and
+    the old table is semi-filtered to delta-touched buckets map-side
+    BEFORE any stats or join — the corpus-scale index is scanned once
+    with a broadcast filter and never shuffled in full; the cap stats
+    and the final equi-join run over the touched subset only
+    (occupancy per touched bucket is unchanged by the filter, so cap
+    semantics are identical).  At a delta so large its key set cannot
+    broadcast (~10^9 docs), drop to a plain semi-join and let AQE pick
+    the strategy — still one filtered pass over the index.
+
+    ``hamming_max``: when set, both sides must carry a ``simhash``
+    column and candidates are filtered to
+    ``popcount(simhash_new XOR simhash_old) <= hamming_max`` INSIDE the
+    join — the same cheap-filter-at-the-join the batch pigeonhole path
+    applies (simhash.py).  For a 2^15-ish chunk keyspace the expected
+    occupancy n/2^15 makes raw chunk collisions the dominant candidate
+    volume (measured 3.0M junk / 5.5k real at 500k docs); one codegen'd
+    xor per collision here beats a shingle-set verify per collision
+    downstream by orders of magnitude."""
+    delta_keys = new_rows.select(*keys).distinct()
+    old = old_rows.join(F.broadcast(delta_keys), keys, "left_semi")
     if old_fanin_cap is not None:
         stats = old.groupBy(*keys).agg(
             F.count("*").alias("_n"), F.min("doc_id").alias("_pivot")
@@ -101,9 +130,22 @@ def _delta_cross_candidates(
             )
             .drop("_n", "_pivot")
         )
+    extra_new = (
+        [F.col("simhash").alias("_snew")] if hamming_max is not None else []
+    )
+    extra_old = (
+        [F.col("simhash").alias("_sold")] if hamming_max is not None else []
+    )
     joined = new_rows.select(
-        *keys, F.col("doc_id").alias("_new")
-    ).join(old.select(*keys, F.col("doc_id").alias("_old")), keys)
+        *keys, F.col("doc_id").alias("_new"), *extra_new
+    ).join(
+        old.select(*keys, F.col("doc_id").alias("_old"), *extra_old), keys
+    )
+    if hamming_max is not None:
+        joined = joined.where(
+            F.bit_count(F.col("_snew").bitwiseXOR(F.col("_sold")))
+            <= F.lit(hamming_max)
+        )
     return joined.select(
         F.least("_new", "_old").alias("id_a"),
         F.greatest("_new", "_old").alias("id_b"),
@@ -142,9 +184,10 @@ def incremental_near_pairs(
 
     ``existing_bands`` / ``existing_chunks``: the MATERIALIZED LSH index
     of the old corpus — (doc_id, band_id, band_hash) and (doc_id,
-    chunk_id, val) tables (``explode_bands`` / ``simhash_key_rows``
+    simhash, chunk_id, val) tables (``explode_bands`` / ``_chunk_rows``
     shapes, e.g. the ``band_rows``/``chunk_rows`` stages the daily loop
-    persists).  When given, the cross arms equi-join them directly;
+    persists; the chunk table carries the simhash so the Hamming filter
+    runs at the join).  When given, the cross arms equi-join them directly;
     when None they are derived from ``sig_old`` — correct, but that
     re-evaluates the banding expressions over the WHOLE corpus every
     run, which the A/B in BENCH/scaling_incremental.json prices (the
@@ -196,6 +239,7 @@ def incremental_near_pairs(
         old_chunks,
         ["chunk_id", "val"],
         old_fanin_cap,
+        hamming_max=cfg.simhash_hamming_max,
     )
 
     cands = (
@@ -222,10 +266,19 @@ def incremental_near_pairs(
     sig_union = sig_old.select("doc_id", "simhash").unionByName(
         sig_new.select("doc_id", "simhash")
     )
-    out = verify_pairs(cands, sig_union.join(sets, "doc_id"), cfg).persist(
+    # materialize the endpoint payload ONCE: score_pairs joins it twice
+    # (id_a side + id_b side), and without this the corpus text scan +
+    # shingling behind ``sets`` would execute twice — measured 2x the
+    # whole verify wall at 500k docs.  O(|candidate endpoints|) rows.
+    payload = sig_union.join(sets, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    payload.count()
+    out = verify_pairs(cands, payload, cfg).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     out.count()
+    payload.unpersist()
     cands.unpersist()
     sig_new.unpersist()
     return out
