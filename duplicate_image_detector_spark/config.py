@@ -36,6 +36,13 @@ class PipelineConfig:
     # --- SimHash ---
     simhash_bits: int = 60        # 15 hex digits of md5 -> non-negative BIGINT
     simhash_hamming_max: int = 3  # near-exact if Hamming distance <= this
+    simhash_n_chunks: int | None = None  # pigeonhole layout pin; None lets
+    #   in-job generators pick by corpus size (pick_simhash_layout) and
+    #   everything else (notably the materialized chunk index and its
+    #   delta-side mate, which MUST agree) use the minimal d+1 layout
+    simhash_wide_docs: int = 5_000_000   # docs; above this, size-aware
+    #   callers switch to the Manku combination layout (simhash.py;
+    #   crossover measured by BENCH/simhash_layout_ab_2000k.json)
     # --- substring tier ---
     substring_min_len: int = 400  # min shared span length L (chars)
     substring_gram: int = 64      # rolling-hash gram size k
@@ -60,6 +67,14 @@ class PipelineConfig:
             raise ValueError("substring_gram must be < substring_min_len")
         if self.id_bits not in (64, 128):
             raise ValueError(f"id_bits must be 64 or 128, got {self.id_bits}")
+        if (
+            self.simhash_n_chunks is not None
+            and self.simhash_n_chunks <= self.simhash_hamming_max
+        ):
+            raise ValueError(
+                f"simhash_n_chunks ({self.simhash_n_chunks}) must exceed "
+                f"simhash_hamming_max ({self.simhash_hamming_max})"
+            )
 
     def config_hash(self) -> str:
         """Stable 16-hex-char key over all semantics-affecting fields.

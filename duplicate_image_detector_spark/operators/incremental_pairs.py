@@ -59,6 +59,7 @@ from duplicate_image_detector_spark.operators.signatures import (
     shingle_sets_for,
 )
 from duplicate_image_detector_spark.operators.simhash import (
+    pick_simhash_layout,
     simhash_hamming_pairs,
     simhash_key_rows,
 )
@@ -211,10 +212,17 @@ def incremental_near_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig_new.count()
 
-    # new x new: the standard capped generators over the delta alone
+    # new x new: the standard capped generators over the delta alone.
+    # The pigeonhole layout follows the DELTA's size (both sides of this
+    # self-join are built here) — a multi-million-doc delta would otherwise pay
+    # ~Δ²/2^15 random chunk collisions, the measured shape of the 2x-
+    # delta marginal-wall blowup in BENCH/scaling_incremental.json.  The
+    # cross arm below is NOT free to do this: its old side is the
+    # materialized index, whose layout is pinned by cfg.simhash_n_chunks.
     nn_lsh = lsh_candidate_pairs(sig_new, cfg)
     nn_ham = simhash_hamming_pairs(
-        sig_new.select("doc_id", "simhash"), cfg, max_bucket=cfg.max_bucket
+        sig_new.select("doc_id", "simhash"), cfg, max_bucket=cfg.max_bucket,
+        n_chunks=pick_simhash_layout(sig_new.count(), cfg),
     )
 
     # new x old: delta buckets joined against the old band/chunk tables

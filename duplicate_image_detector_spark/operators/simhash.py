@@ -26,15 +26,19 @@ pairing for pipeline use where CC transitivity recovers clusters.
 
 Scale budget: mean chunk-bucket size is n / 2^chunk_bits (15 bits at the
 pinned 60/4 split), so the candidate join emits ~(d+1) · n² / 2^15 rows —
-fine to ~10^6 docs, quadratic beyond.  The pipeline therefore runs this
-operator CAPPED (``max_bucket=cfg.max_bucket``): past the cap every
-bucket degrades to O(|bucket|) pivot pairs, bounding the stage at
-O((d+1)·n) total.  Under the cap the Hamming arm is deliberately a
-SUPPLEMENT, not the recall carrier — docs within Hamming 3 of each other
-share almost their entire shingle set and are caught by the MinHash-LSH
-arm with near-certainty; the planted-truth recall bench measures the
-composition.  Standalone exact-pair use at 10^8+ docs should raise
-``simhash_bits``/chunk count (Manku'07 §3's table layout) instead.
+fine to ~10^6 docs, quadratic beyond.  Size-aware callers (the batch
+pipeline's candidate stage, the incremental mode's within-delta arm)
+therefore switch to the C(2d,d) combination layout past
+``cfg.simhash_wide_docs`` via ``pick_simhash_layout`` — 30-bit keys
+collapse random collisions by ~2^15 for 5x the key rows, restoring
+~linear candidate volume to n ≈ 10^9 (every layout is output-identical;
+parity-tested).  The pipeline additionally runs this operator CAPPED
+(``max_bucket=cfg.max_bucket``): past the cap every bucket degrades to
+O(|bucket|) pivot pairs, bounding the stage at O(keys·n) total.  Under
+the cap the Hamming arm is deliberately a SUPPLEMENT, not the recall
+carrier — docs within Hamming 3 of each other share almost their entire
+shingle set and are caught by the MinHash-LSH arm with near-certainty;
+the planted-truth recall bench measures the composition.
 """
 
 from __future__ import annotations
@@ -90,6 +94,38 @@ def _combo_keys_col(
     return F.array(*keys)
 
 
+def pick_simhash_layout(n_docs: int | None, cfg: PipelineConfig) -> int | None:
+    """Size-aware pigeonhole layout choice for a corpus of ``n_docs``.
+
+    Returns an ``n_chunks`` value for ``simhash_key_rows``: ``None``
+    (minimal d+1 layout) at or below ``cfg.simhash_wide_docs``, else the
+    ``2d``-chunk Manku combination layout (for d=3: 6 chunks of 10 bits,
+    C(6,3)=20 keys of 30 bits).  A ``cfg.simhash_n_chunks`` pin always
+    wins — that is the knob for jobs whose two join sides are built in
+    different runs (the materialized chunk index and its delta mate).
+
+    Why this crossover: candidate volume under the minimal layout is
+    ~(d+1)·n²/2^chunk_bits random chunk collisions (one codegen'd xor
+    each) vs C(2d,d) key rows/doc (a real shuffle each) under the wide
+    one.  Interleaved steady-state A/B at 2M docs/local[32]
+    (BENCH/simhash_layout_ab_2000k.json: minimal 4.9 s vs wide 10.9 s,
+    identical 202,234 pairs) puts a shuffled key row at ~26x a filtered
+    xor candidate — the n² collision term (4x per doc doubling, vs 2x
+    for key rows) overtakes that constant at ~4-8M docs, hence the 5M
+    default.  Past cost there is a RECALL cliff the wide layout
+    removes: minimal 15-bit buckets hit mean occupancy = ``max_bucket``
+    (2000) at n ≈ 6.5x10^7, where capped callers start pivot-routing
+    buckets that are mostly RANDOM collisions (pivot members not
+    near-identical, unlike LSH band buckets), silently shrinking the
+    Hamming arm; 30-bit keys keep expected occupancy < 1 to n ≈ 10^9.
+    """
+    if cfg.simhash_n_chunks is not None:
+        return cfg.simhash_n_chunks
+    if n_docs is None or n_docs <= cfg.simhash_wide_docs:
+        return None
+    return max(2 * cfg.simhash_hamming_max, cfg.simhash_hamming_max + 1)
+
+
 def simhash_key_rows(
     sig: DataFrame,
     cfg: PipelineConfig,
@@ -112,7 +148,10 @@ def simhash_key_rows(
     output (pigeonhole exactness; parity-tested)."""
     d = cfg.simhash_hamming_max
     if n_chunks is None:
-        n_chunks = d + 1
+        # honor a config-level pin first: layouts on the two sides of a
+        # cross join (materialized index vs delta) must agree, and the
+        # pin is how that agreement survives across runs
+        n_chunks = cfg.simhash_n_chunks if cfg.simhash_n_chunks else d + 1
     if n_chunks <= d:
         raise ValueError(f"n_chunks ({n_chunks}) must exceed d ({d})")
     chunk_bits = cfg.simhash_bits // n_chunks

@@ -204,13 +204,21 @@ def run_pipeline(
         from pyspark.storagelevel import StorageLevel
 
         from duplicate_image_detector_spark.operators.simhash import (
+            pick_simhash_layout,
             simhash_hamming_pairs,
         )
 
         lshc = lsh_candidate_pairs(signatures, cfg)
+        # both sides of the pigeonhole self-join are built here, so the
+        # layout is free to follow corpus size: minimal d+1 chunks until
+        # random 15-bit collisions dominate (~5M docs), then the
+        # C(2d,d) combination layout (see pick_simhash_layout); the
+        # signatures stage is persisted by the manager, so the count is
+        # a cache scan
         ham = simhash_hamming_pairs(
             signatures.select("doc_id", "simhash"), cfg,
             max_bucket=cfg.max_bucket,
+            n_chunks=pick_simhash_layout(signatures.count(), cfg),
         )
         out = (
             lshc.unionByName(ham.select("id_a", "id_b"))

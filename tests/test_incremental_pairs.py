@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from duplicate_image_detector_spark.config import PipelineConfig
 from duplicate_image_detector_spark.operators.incremental_pairs import (
     incremental_near_pairs,
 )
@@ -252,3 +253,23 @@ def test_old_fanin_cap_pivot_bounds_and_connectivity(spark, cfg):
     assert len(want_c) == n_old + n_delta  # all 65 docs in the cluster
     assert got_c == want_c
     inc.unpersist()
+
+
+def test_incremental_wide_delta_layout_output_identical(spark, tiny_corpus):
+    # force the size-aware picker to choose the wide combination layout
+    # for the within-delta Hamming arm (simhash_wide_docs=0): the output
+    # must be bit-identical to the minimal layout — pigeonhole exactness
+    # is layout-independent, and the cross arm's layout (tied to the
+    # materialized index) is unaffected by the picker
+    base = PipelineConfig()
+    wide = PipelineConfig(simhash_wide_docs=0)
+    docs = _docs_df(spark, tiny_corpus).persist()
+    docs.count()
+    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    old, delta = docs.where(~is_new), docs.where(is_new)
+    a = incremental_near_pairs(old, delta, base)
+    b = incremental_near_pairs(old, delta, wide)
+    assert _pairset(a) == _pairset(b) and _pairset(a)
+    a.unpersist()
+    b.unpersist()
+    docs.unpersist()

@@ -163,3 +163,40 @@ def test_simhash_hot_bucket_skew(spark, cfg):
     # still covers the pivot's own neighbors
     capped = simhash_hamming_pairs(sig, cfg, max_bucket=50).collect()
     assert {(r["id_a"], r["id_b"]) for r in capped} <= want
+
+
+def test_pick_simhash_layout_crossover():
+    from duplicate_image_detector_spark.operators.simhash import (
+        pick_simhash_layout,
+    )
+
+    cfg = PipelineConfig()
+    # at/below the crossover (and with no count available): minimal d+1
+    assert pick_simhash_layout(0, cfg) is None
+    assert pick_simhash_layout(cfg.simhash_wide_docs, cfg) is None
+    assert pick_simhash_layout(None, cfg) is None
+    # above: the C(2d,d) combination layout (d=3 -> 6 chunks)
+    assert pick_simhash_layout(cfg.simhash_wide_docs + 1, cfg) == 6
+    # a config pin always wins (cross-run layout agreement)
+    pinned = PipelineConfig(simhash_n_chunks=6)
+    assert pick_simhash_layout(10, pinned) == 6
+    # degenerate d: wide layout never violates n_chunks > d
+    d0 = PipelineConfig(simhash_hamming_max=0)
+    assert pick_simhash_layout(10**9, d0) == 1
+
+
+def test_simhash_config_pin_flows_to_key_rows(spark, cfg):
+    from duplicate_image_detector_spark.operators.simhash import (
+        simhash_key_rows,
+    )
+
+    sig = spark.createDataFrame(
+        [(1, 12345), (2, 67890)], "doc_id long, simhash long"
+    )
+    # default cfg: minimal layout -> d+1 key rows per doc
+    assert simhash_key_rows(sig, cfg).count() == 2 * (
+        cfg.simhash_hamming_max + 1
+    )
+    # pinned cfg: C(6,3)=20 combination keys per doc, no explicit arg
+    pinned = PipelineConfig(simhash_n_chunks=6)
+    assert simhash_key_rows(sig, pinned).count() == 2 * 20
