@@ -64,6 +64,21 @@ def run_default() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    # VM ramp warmup: this box throttles cold CPU and ramps under
+    # sustained load — measured on the same code and window: the
+    # flagship runs 64-67 s as the FIRST heavy job after VM idle and
+    # 46.8 s after ~45 s of spin, while the Spark-free control reads
+    # 4.4-6.3 s cold vs 1.1-1.7 s warm.  Burn all-core work until the
+    # control plateaus (successive walls within 10%) so round-to-round
+    # comparisons measure the engine, not where in the ramp the bench
+    # happened to start.  The walls are recorded for audit.
+    ramp = [_raw_hardware_ceiling(levels=(int(cpus),))[int(cpus)]]
+    while len(ramp) < 8:
+        ramp.append(_raw_hardware_ceiling(levels=(int(cpus),))[int(cpus)])
+        if len(ramp) >= 3 and ramp[-1] >= 0.9 * ramp[-2]:
+            break
+    meta["vm_ramp_warmup_walls"] = ramp
+
     # q1: the flagship — full near-dup pipeline at the pinned 16x8 config
     _clusters_holder: list = []
 
@@ -126,8 +141,21 @@ def run_default() -> None:
     timed("orders_rollup", lambda: E.q_orders_rollup(spark, sf_dir).count())
     timed("cosine_topk", lambda: E.q_cosine_topk(spark, sf_dir).count())
     timed("cosine_dup_pairs", lambda: E.q_cosine_dup_pairs(spark, sf_dir).count())
-    timed("ann_lsh_topk", lambda: E.q_ann_lsh_topk(spark, sf_dir).count())
-    timed("ann_ivf_topk", lambda: E.q_ann_ivf_topk(spark, sf_dir).count())
+
+    # ANN rows time the OPERATOR on the raw embeddings table (the r3/r4-
+    # comparable shape).  The q_ann_* gate functions now wrap the search
+    # in a recall harness (6x planted corpus + exact brute force) so the
+    # driver can value-check recall at sf0.01 — that harness is a
+    # correctness oracle, not the operator, and timing it at sf0.1 would
+    # report the brute force's wall as the ANN's.
+    from duplicate_image_detector_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("ann_lsh_topk", lambda: ann_lsh_topk(emb, k=5).count())
+    timed("ann_ivf_topk", lambda: ann_ivf_topk(emb, k=5).count())
     timed("token_stats", lambda: E.q_token_stats(spark, sf_dir).count())
     timed("quality_score", lambda: E.q_quality_score(spark, sf_dir).count())
     timed("lang_id", lambda: E.q_lang_id(spark, sf_dir).count())
@@ -157,6 +185,7 @@ def run_default() -> None:
                 "pipeline_docs_per_sec": docs_per_sec,
                 "cpus": int(cpus),
                 "raw_kernel_wall_sec": raw,
+                "vm_ramp_warmup_walls_sec": meta.get("vm_ramp_warmup_walls"),
             }
         )
     )
