@@ -692,6 +692,73 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NAV_LINE = "NAV home products pricing contact"
+_COOKIE_LINE = "COOKIE NOTICE this site uses cookies"
+_FOOTER_LINE = "COPYRIGHT example site all rights reserved"
+
+
+def _planted_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rewritten as deterministic multi-line pages for the
+    repeated-line gates: the synthetic texts are single-line with zero
+    cross-document repeated lines (verified at sf0.01), so — like the
+    planted ANN families above — the gates inject the structure the
+    operator is specified for.  Each page gets a nav line (doc_id % 2),
+    a first-8-words prefix line (repeats across near-dup families: a
+    DATA-derived duplicate, not a planted constant), the original body,
+    a cookie line (doc_id % 3) and a footer (always).  Identical
+    construction in the oracle SQL."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    text = F.concat_ws(
+        "\n",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_NAV_LINE)),
+        F.array_join(F.slice(F.split(F.col("text"), " ", -1), 1, 8), " "),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_COOKIE_LINE)),
+        F.lit(_FOOTER_LINE),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_repeated_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate profile: every line appearing in >= 2 docs."""
+    from duplicate_image_detector_spark.operators.linedup import line_stats
+
+    return line_stats(_planted_pages(spark, sf_dir), min_df=2)
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df_cap removal (boilerplate strip): lines in > 50 docs removed
+    from every document; gate row carries the rebuilt text's sha256 so
+    the value hash pins the exact reconstruction (order + bytes)."""
+    from duplicate_image_detector_spark.operators.linedup import (
+        remove_repeated_lines,
+    )
+
+    out = remove_repeated_lines(
+        _planted_pages(spark, sf_dir), max_df=50, mode="df_cap"
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_removed",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+def q_line_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup: keep only the globally-first
+    occurrence (min (doc_id, line_no)) of every duplicated line."""
+    from duplicate_image_detector_spark.operators.linedup import (
+        remove_repeated_lines,
+    )
+
+    out = remove_repeated_lines(
+        _planted_pages(spark, sf_dir), mode="first"
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_removed",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
 
@@ -927,6 +994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "repeated_line_stats": q_repeated_line_stats,
+        "line_dedup_docs": q_line_dedup_docs,
+        "line_dedup_first": q_line_dedup_first,
         "tpch_q1": q_tpch_q1,
         "top_orders_per_cust": q_top_orders_per_cust,
         "customers_without_orders": q_customers_without_orders,
@@ -1311,8 +1381,74 @@ FROM embeddings
 """
 
 
+# repeated-line gates: the planted multi-line pages (same construction
+# as _planted_pages — concat_ws skips the NULL CASE arms in both
+# engines) and the line explosion with 1-based ordinality.  n_removed
+# sums are cast to BIGINT (DuckDB widens sum(int) to HUGEINT); rebuilt
+# text is pinned by sha256 (identical lowercase-hex in both engines;
+# string_agg skips NULL-cased dropped lines and keeps blank lines as
+# empty strings, mirroring the Spark collect_list(when(...)) rebuild).
+_PLANTED_PAGES_SQL = f"""
+SELECT doc_id, concat_ws(chr(10),
+    CASE WHEN doc_id % 2 = 0 THEN '{_NAV_LINE}' END,
+    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+    text,
+    CASE WHEN doc_id % 3 = 0 THEN '{_COOKIE_LINE}' END,
+    '{_FOOTER_LINE}') AS text
+FROM documents WHERE text IS NOT NULL
+"""
+
+_LINE_ROWS_SQL = f"""
+SELECT doc_id, ord, x AS line, trim(x) AS norm FROM (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS x,
+         generate_subscripts(string_split(text, chr(10)), 1) AS ord
+  FROM pages)
+"""
+
+_LINE_STATS_SQL = f"""
+WITH pages AS ({_PLANTED_PAGES_SQL}),
+l AS ({_LINE_ROWS_SQL})
+SELECT norm AS line, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS n_occurrences
+FROM l WHERE norm <> '' GROUP BY norm
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+_LINE_DEDUP_DOCS_SQL = f"""
+WITH pages AS ({_PLANTED_PAGES_SQL}),
+l AS ({_LINE_ROWS_SQL}),
+hot AS (SELECT norm FROM l WHERE norm <> ''
+        GROUP BY norm HAVING count(DISTINCT doc_id) > 50)
+SELECT l.doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN h.norm IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_removed,
+       sha256(coalesce(string_agg(
+         CASE WHEN h.norm IS NULL THEN l.line END,
+         chr(10) ORDER BY l.ord), '')) AS text_sha
+FROM l LEFT JOIN hot h ON l.norm = h.norm
+GROUP BY l.doc_id
+"""
+
+_LINE_DEDUP_FIRST_SQL = f"""
+WITH pages AS ({_PLANTED_PAGES_SQL}),
+l AS ({_LINE_ROWS_SQL}),
+r AS (SELECT *, row_number() OVER (PARTITION BY norm
+                                   ORDER BY doc_id, ord) AS rn FROM l)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN norm <> '' AND rn > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_removed,
+       sha256(coalesce(string_agg(
+         CASE WHEN NOT (norm <> '' AND rn > 1) THEN line END,
+         chr(10) ORDER BY ord), '')) AS text_sha
+FROM r GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "repeated_line_stats": _LINE_STATS_SQL,
+        "line_dedup_docs": _LINE_DEDUP_DOCS_SQL,
+        "line_dedup_first": _LINE_DEDUP_FIRST_SQL,
         "exact_canon_clusters": _EXACT_CANON_SQL,
         "exact_prefix_clusters": _EXACT_PREFIX_SQL,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,

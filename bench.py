@@ -156,6 +156,7 @@ def run_default() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("ann_lsh_topk", lambda: ann_lsh_topk(emb, k=5).count())
     timed("ann_ivf_topk", lambda: ann_ivf_topk(emb, k=5).count())
+    timed("line_dedup_docs", lambda: E.q_line_dedup_docs(spark, sf_dir).count())
     timed("token_stats", lambda: E.q_token_stats(spark, sf_dir).count())
     timed("quality_score", lambda: E.q_quality_score(spark, sf_dir).count())
     timed("lang_id", lambda: E.q_lang_id(spark, sf_dir).count())
