@@ -715,6 +715,9 @@ def _planted_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.when(F.col("doc_id") % 3 == 0, F.lit(_COOKIE_LINE)),
         F.lit(_FOOTER_LINE),
+        # real pages repeat their nav in the footer: a WITHIN-doc
+        # duplicate line for the repetition-stats gate (doc_id % 4)
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_NAV_LINE)),
     )
     return d.select("doc_id", text.alias("text"))
 
@@ -756,6 +759,21 @@ def q_line_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_lines", "n_removed",
         F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule within-doc repetition profile on the planted pages
+    (nav repeated in the footer for doc_id % 4 -> non-vacuous line
+    stats; the word-soup bodies repeat 2/3-grams naturally).  All five
+    fractions are integer-derived ratios: bit-exact vs the oracle with
+    no rounding (repo float policy)."""
+    from duplicate_image_detector_spark.operators.repetition import (
+        doc_repetition_stats,
+    )
+
+    return doc_repetition_stats(
+        _planted_pages(spark, sf_dir), top_ns=(2, 3), dup_n=5
     )
 
 
@@ -997,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_line_stats": q_repeated_line_stats,
         "line_dedup_docs": q_line_dedup_docs,
         "line_dedup_first": q_line_dedup_first,
+        "doc_repetition_stats": q_doc_repetition_stats,
         "tpch_q1": q_tpch_q1,
         "top_orders_per_cust": q_top_orders_per_cust,
         "customers_without_orders": q_customers_without_orders,
@@ -1394,7 +1413,8 @@ SELECT doc_id, concat_ws(chr(10),
     array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
     text,
     CASE WHEN doc_id % 3 = 0 THEN '{_COOKIE_LINE}' END,
-    '{_FOOTER_LINE}') AS text
+    '{_FOOTER_LINE}',
+    CASE WHEN doc_id % 4 = 0 THEN '{_NAV_LINE}' END) AS text
 FROM documents WHERE text IS NOT NULL
 """
 
@@ -1444,9 +1464,60 @@ FROM r GROUP BY doc_id
 """
 
 
+# within-doc repetition stats: word n-grams use the SAME tokenizer as
+# the _WORDS fragment (lower + [^a-z0-9]+ collapse), over the planted
+# pages; every output fraction is an exact-integer ratio, so the double
+# division is bit-identical across engines without rounding
+_REPETITION_SQL = f"""
+WITH pages AS ({_PLANTED_PAGES_SQL}),
+l AS ({_LINE_ROWS_SQL}),
+la AS (
+  SELECT doc_id, sum(cnt - 1) / sum(cnt) AS dup_line_frac,
+         sum((cnt - 1) * len) / sum(cnt * len) AS dup_line_char_frac
+  FROM (SELECT doc_id, norm, count(*) AS cnt, length(norm) AS len
+        FROM l WHERE norm <> '' GROUP BY doc_id, norm)
+  GROUP BY doc_id),
+w AS (SELECT doc_id, list_filter(string_split(regexp_replace(lower(text),
+        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS w FROM pages),
+t2 AS (
+  SELECT doc_id, max(cnt * length(gram)) / sum(cnt * length(gram))
+           AS top_2gram_char_frac
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM (
+          SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, len(w))]) AS gram
+          FROM w WHERE len(w) >= 2) GROUP BY doc_id, gram)
+  GROUP BY doc_id),
+t3 AS (
+  SELECT doc_id, max(cnt * length(gram)) / sum(cnt * length(gram))
+           AS top_3gram_char_frac
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM (
+          SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+                                 for i in range(1, len(w) - 1)]) AS gram
+          FROM w WHERE len(w) >= 3) GROUP BY doc_id, gram)
+  GROUP BY doc_id),
+d5 AS (
+  SELECT doc_id, sum(cnt - 1) / sum(cnt) AS dup_5gram_frac
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM (
+          SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+                                 for i in range(1, len(w) - 3)]) AS gram
+          FROM w WHERE len(w) >= 5) GROUP BY doc_id, gram)
+  GROUP BY doc_id)
+SELECT p.doc_id,
+       coalesce(la.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(la.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(t2.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+       coalesce(t3.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+       coalesce(d5.dup_5gram_frac, 0.0) AS dup_5gram_frac
+FROM (SELECT doc_id FROM pages) p
+LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "repeated_line_stats": _LINE_STATS_SQL,
+        "doc_repetition_stats": _REPETITION_SQL,
         "line_dedup_docs": _LINE_DEDUP_DOCS_SQL,
         "line_dedup_first": _LINE_DEDUP_FIRST_SQL,
         "exact_canon_clusters": _EXACT_CANON_SQL,
