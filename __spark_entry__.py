@@ -762,6 +762,37 @@ def q_line_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three raw spellings per canonical page (uppercase scheme/host +
+    default port + www + tracking params + fragment + trailing slash +
+    shuffled query order), one per doc_id % 3; consecutive doc_id
+    triples share a page.  Deterministic and identical in the oracle."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    g = F.floor(F.col("doc_id") / 3).cast("long")
+    m = F.col("doc_id") % 3
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW.Example.com:80/docs/"), g,
+            F.lit("/?utm_source=feed&b=2&a=1#top")))
+        .when(m == 1, F.concat(
+            F.lit("http://example.com/docs/"), g, F.lit("?a=1&b=2")))
+        .otherwise(F.concat(
+            F.lit("http://Example.com:80/docs/"), g,
+            F.lit("/?b=2&a=1&gclid=xyz")))
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_canon_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact tier: canonicalize planted URL variants and group
+    (>= 2 raw spellings per canonical page; min-id representative)."""
+    from duplicate_image_detector_spark.functions.urls import (
+        url_variant_groups,
+    )
+
+    return url_variant_groups(_planted_urls(spark, sf_dir), min_size=2)
+
+
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule within-doc repetition profile on the planted pages
     (nav repeated in the footer for doc_id % 4 -> non-vacuous line
@@ -1016,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "line_dedup_first": q_line_dedup_first,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "url_canon_groups": q_url_canon_groups,
         "tpch_q1": q_tpch_q1,
         "top_orders_per_cust": q_top_orders_per_cust,
         "customers_without_orders": q_customers_without_orders,
@@ -1514,10 +1546,59 @@ LEFT JOIN t3 USING (doc_id) LEFT JOIN d5 USING (doc_id)
 """
 
 
+# URL canonicalization oracle: the regex constants are interpolated from
+# the SAME strings the Spark expressions use (DuckDB single-quote
+# literals are escape-free, so the bytes reach RE2 verbatim; the
+# patterns are written in the Java/RE2 common subset)
+def _url_canon_sql() -> str:
+    from duplicate_image_detector_spark.functions.urls import (
+        _AUTH_RE, _PATH_RE, _QUERY_RE, _SCHEME_RE, TRACKING_PARAM_RE,
+    )
+
+    scheme = f"lower(regexp_extract(url, '{_SCHEME_RE}', 1))"
+    auth = f"lower(regexp_extract(url, '{_AUTH_RE}', 1))"
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN 'HTTP://WWW.Example.com:80/docs/' || (doc_id // 3)
+                  || '/?utm_source=feed&b=2&a=1#top'
+      WHEN 1 THEN 'http://example.com/docs/' || (doc_id // 3)
+                  || '?a=1&b=2'
+      ELSE 'http://Example.com:80/docs/' || (doc_id // 3)
+           || '/?b=2&a=1&gclid=xyz'
+    END AS url
+  FROM documents),
+q AS (
+  SELECT doc_id, url,
+    array_to_string(list_sort(list_filter(
+      string_split(regexp_extract(url, '{_QUERY_RE}', 1), '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))),
+      '&') AS qs
+  FROM u),
+c AS (
+  SELECT doc_id,
+    CASE WHEN {scheme} <> '' THEN
+      {scheme} || '://' ||
+      regexp_replace(
+        CASE {scheme}
+          WHEN 'http' THEN regexp_replace({auth}, ':80$', '')
+          WHEN 'https' THEN regexp_replace({auth}, ':443$', '')
+          ELSE {auth} END, '^www\\.', '') ||
+      regexp_replace(regexp_extract(url, '{_PATH_RE}', 1), '/+$', '') ||
+      CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+    ELSE url END AS canon_url
+  FROM q)
+SELECT canon_url, count(*)::BIGINT AS n_docs, min(doc_id) AS rep_doc_id
+FROM c GROUP BY canon_url HAVING count(*) >= 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "repeated_line_stats": _LINE_STATS_SQL,
         "doc_repetition_stats": _REPETITION_SQL,
+        "url_canon_groups": _url_canon_sql(),
         "line_dedup_docs": _LINE_DEDUP_DOCS_SQL,
         "line_dedup_first": _LINE_DEDUP_FIRST_SQL,
         "exact_canon_clusters": _EXACT_CANON_SQL,
