@@ -762,6 +762,59 @@ def q_line_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit on planted-PII pages (emails / IPv4 / intl
+    phones appended per doc_id % 4; the synthetic word-soup bodies carry
+    none).  Row pins pre-redaction counts per category and the redacted
+    text's sha256."""
+    from duplicate_image_detector_spark.functions.pii import scrub_pii
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    m = F.col("doc_id") % 4
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.concat(
+                F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com now")))
+            .when(m == 1, F.concat(
+                F.lit(" server 10.1."), F.col("doc_id") % 200,
+                F.lit(".7 up")))
+            .when(m == 2, F.concat(
+                F.lit(" call +1415"), F.col("doc_id") + 550000))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(planted)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 17th doc's first 30 tokens form
+    the benchmark set; docs sharing >= 2 distinct 8-grams with an entry
+    are flagged (the source docs themselves plus their near-dup family
+    members — data-derived contamination, not only self-hits)."""
+    from duplicate_image_detector_spark.functions.text import words_col
+    from duplicate_image_detector_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    bench = d.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(words_col(F.col("text")), 1, 30), " "
+        ).alias("text"),
+    )
+    return contamination_flags(d, bench, k=8, min_shared=2)
+
+
 def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three raw spellings per canonical page (uppercase scheme/host +
     default port + www + tracking params + fragment + trailing slash +
@@ -1048,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_first": q_line_dedup_first,
         "doc_repetition_stats": q_doc_repetition_stats,
         "url_canon_groups": q_url_canon_groups,
+        "pii_scrub": q_pii_scrub,
+        "contamination_flags": q_contamination_flags,
         "tpch_q1": q_tpch_q1,
         "top_orders_per_cust": q_top_orders_per_cust,
         "customers_without_orders": q_customers_without_orders,
@@ -1594,11 +1649,59 @@ FROM c GROUP BY canon_url HAVING count(*) >= 2
 """
 
 
+def _pii_sql() -> str:
+    # same pattern strings, same application order; DuckDB needs the
+    # explicit 'g' flag (its regexp_replace is first-match by default,
+    # Spark's is global)
+    from duplicate_image_detector_spark.functions.pii import PII_PATTERNS
+
+    email, ip, phone = (PII_PATTERNS[k][0] for k in ("email", "ipv4", "phone"))
+    red = "text"
+    for name in ("email", "ipv4", "phone"):
+        rx, tok = PII_PATTERNS[name]
+        red = f"regexp_replace({red}, '{rx}', '{tok}', 'g')"
+    return f"""
+WITH p AS (
+  SELECT doc_id, text || CASE doc_id % 4
+    WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+    WHEN 1 THEN ' server 10.1.' || (doc_id % 200) || '.7 up'
+    WHEN 2 THEN ' call +1415' || (doc_id + 550000)
+    ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{email}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '{ip}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '{phone}'))::BIGINT AS n_phone,
+  sha256({red}) AS text_sha
+FROM p
+"""
+
+
+_CONTAMINATION_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+w AS (SELECT doc_id, list_filter(string_split(regexp_replace(lower(text),
+        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS w FROM d),
+dg AS (SELECT doc_id, unnest(list_distinct(
+         [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]))
+         AS gram FROM w WHERE len(w) >= 8),
+bw AS (SELECT doc_id AS bench_id, w[1:30] AS w FROM w
+       WHERE doc_id % 17 = 0),
+bg AS (SELECT bench_id, unnest(list_distinct(
+         [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]))
+         AS gram FROM bw WHERE len(w) >= 8)
+SELECT doc_id, bench_id, count(*)::BIGINT AS n_shared_grams
+FROM dg JOIN bg USING (gram) GROUP BY doc_id, bench_id
+HAVING count(*) >= 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "repeated_line_stats": _LINE_STATS_SQL,
         "doc_repetition_stats": _REPETITION_SQL,
         "url_canon_groups": _url_canon_sql(),
+        "pii_scrub": _pii_sql(),
+        "contamination_flags": _CONTAMINATION_SQL,
         "line_dedup_docs": _LINE_DEDUP_DOCS_SQL,
         "line_dedup_first": _LINE_DEDUP_FIRST_SQL,
         "exact_canon_clusters": _EXACT_CANON_SQL,
