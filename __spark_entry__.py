@@ -815,6 +815,49 @@ def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(d, bench, k=8, min_shared=2)
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM quality scoring: the even-doc_id half of the
+    corpus is the trusted reference (trains the bigram MLE), every doc
+    is scored against it — odd docs carry real OOV mass.  All-int64
+    output (micro-probability space; no cross-libm logs in the gate)."""
+    from duplicate_image_detector_spark.operators.lm_filter import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    model = train_bigram_lm(d.where(F.col("doc_id") % 2 == 0))
+    return score_bigram_lm(d, model)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing of the corpus into 256-token training
+    sequences over 8 shards; pure window arithmetic, int64-exact."""
+    from duplicate_image_detector_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return pack_sequences(d, max_tokens=256, n_shards=8)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample: per-language keep fractions
+    (en .5 / de .25 / fr .125 / es .0625, zh via the default 0.02),
+    membership a pure function of doc_id — replayed bit-for-bit by the
+    oracle from the same constants."""
+    from duplicate_image_detector_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    rates = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.25), ("fr", 0.125), ("es", 0.0625)],
+        "lang string, fraction double",
+    )
+    return stratified_sample(d, rates, ["lang"], default_fraction=0.02)
+
+
 def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three raw spellings per canonical page (uppercase scheme/host +
     default port + www + tracking params + fragment + trailing slash +
@@ -1103,6 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon_groups": q_url_canon_groups,
         "pii_scrub": q_pii_scrub,
         "contamination_flags": q_contamination_flags,
+        "bigram_lm_score": q_bigram_lm_score,
+        "sequence_packing": q_sequence_packing,
+        "stratified_sample": q_stratified_sample,
         "tpch_q1": q_tpch_q1,
         "top_orders_per_cust": q_top_orders_per_cust,
         "customers_without_orders": q_customers_without_orders,
@@ -1695,6 +1741,68 @@ HAVING count(*) >= 2
 """
 
 
+# bigram stream with multiplicity (an LM counts occurrences; contrast
+# the DISTINCT shingles of the dedup oracles).  p_micro replays the
+# engine's exact float sequence: int64 -> double division -> *1e6 ->
+# floor (IEEE-identical in both engines; no logs cross the boundary).
+_BIGRAM_LM_SQL = """
+WITH w AS (SELECT doc_id, list_filter(string_split(regexp_replace(lower(text),
+        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL),
+bg AS (SELECT doc_id, unnest([struct_pack(w1 := w[i], w2 := w[i+1])
+         for i in range(1, len(w))], recursive := true)
+       FROM w WHERE len(w) >= 2),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg
+        WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+model AS (SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1)::BIGINT AS c1
+          FROM c12),
+scored AS (
+  SELECT bg.doc_id,
+    count(*)::BIGINT AS n_bigrams,
+    sum(CASE WHEN model.c12 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+    coalesce(sum(CASE WHEN model.c12 IS NULL THEN 0 ELSE
+      floor(model.c12::DOUBLE / model.c1::DOUBLE * 1000000.0)::BIGINT
+      END), 0)::BIGINT AS sum_p_micro
+  FROM bg LEFT JOIN model USING (w1, w2) GROUP BY bg.doc_id)
+SELECT d.doc_id,
+  coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+  coalesce(s.n_oov, 0)::BIGINT AS n_oov,
+  coalesce(s.sum_p_micro, 0)::BIGINT AS sum_p_micro
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+"""
+
+
+_SEQUENCE_PACKING_SQL = """
+WITH w AS (SELECT doc_id, list_filter(string_split(regexp_replace(lower(text),
+        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL),
+t AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+        (doc_id % 8)::BIGINT AS shard FROM w),
+o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        0)::BIGINT AS off FROM t)
+SELECT doc_id, n_tokens, shard,
+  (off // 256)::BIGINT AS seq, (off % 256)::BIGINT AS offset_in_seq
+FROM o
+"""
+
+
+# same two-limb hash constants as operators/sampling.py; keep-fractions
+# pre-floored to micro units exactly as stratified_sample does
+_STRATIFIED_SAMPLE_SQL = """
+WITH h AS (SELECT doc_id, lang, source,
+    ((doc_id % 1000003) * 2654435761 + (doc_id // 1000003) * 40503 + 7)
+      % 4294967296 AS sample_hash
+  FROM documents)
+SELECT doc_id, lang, source, sample_hash
+FROM h
+WHERE sample_hash % 1000000 < CASE lang
+  WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+  WHEN 'fr' THEN 125000 WHEN 'es' THEN 62500 ELSE 20000 END
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "repeated_line_stats": _LINE_STATS_SQL,
@@ -1702,6 +1810,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canon_groups": _url_canon_sql(),
         "pii_scrub": _pii_sql(),
         "contamination_flags": _CONTAMINATION_SQL,
+        "bigram_lm_score": _BIGRAM_LM_SQL,
+        "sequence_packing": _SEQUENCE_PACKING_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "line_dedup_docs": _LINE_DEDUP_DOCS_SQL,
         "line_dedup_first": _LINE_DEDUP_FIRST_SQL,
         "exact_canon_clusters": _EXACT_CANON_SQL,

@@ -157,6 +157,11 @@ def run_default() -> None:
     timed("ann_lsh_topk", lambda: ann_lsh_topk(emb, k=5).count())
     timed("ann_ivf_topk", lambda: ann_ivf_topk(emb, k=5).count())
     timed("line_dedup_docs", lambda: E.q_line_dedup_docs(spark, sf_dir).count())
+    timed("pii_scrub", lambda: E.q_pii_scrub(spark, sf_dir).count())
+    timed("contamination_flags", lambda: E.q_contamination_flags(spark, sf_dir).count())
+    timed("bigram_lm_score", lambda: E.q_bigram_lm_score(spark, sf_dir).count())
+    timed("sequence_packing", lambda: E.q_sequence_packing(spark, sf_dir).count())
+    timed("stratified_sample", lambda: E.q_stratified_sample(spark, sf_dir).count())
     timed("token_stats", lambda: E.q_token_stats(spark, sf_dir).count())
     timed("quality_score", lambda: E.q_quality_score(spark, sf_dir).count())
     timed("lang_id", lambda: E.q_lang_id(spark, sf_dir).count())

@@ -1,0 +1,117 @@
+"""Reference-corpus language-model quality scoring — the CCNet recipe:
+train a cheap n-gram LM on a trusted reference corpus (CCNet uses a
+wiki-trained KenLM) and score crawl documents by how well the model
+predicts them; low-likelihood docs are gibberish/boilerplate candidates
+and high-likelihood near-1 docs are often templated spam.
+
+Here the LM is a word-bigram MLE model held as a DataFrame — at web
+scale the model itself is big data (crawl-wide bigram vocabulary), so
+training is one partial-agg ``groupBy`` over the bigram stream and
+scoring is an equi-join of the document bigram stream against the model
+on ``(w1, w2)``.  Nothing collects to the driver; when the model is
+small Spark's AQE broadcasts the join side on its own, and when it is
+not, both sides hash-shuffle on the bigram key — the same plan shape at
+5e2 or 5e11 documents.
+
+Cross-engine determinism (the gate is value-hashed against DuckDB): all
+outputs are int64.  Per-bigram likelihood is kept in micro-probability
+space, ``floor(c12 / c1 * 1e6)`` — int64→double conversion is exact
+below 2^53 and IEEE division/multiplication are correctly rounded in
+both engines, so the floor is bit-determined.  No logarithms cross the
+engine boundary: cross-libm ``ln`` ULP differences would make a
+hash-compared perplexity flaky, so perplexity is left to the caller as
+a monotone transform of the exact aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.functions.text import words_col
+
+MICRO = 1_000_000
+
+
+def _bigram_rows(docs: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """One row per ADJACENT word pair occurrence (with multiplicity —
+    an LM counts occurrences, unlike the distinct shingles the dedup
+    tiers use)."""
+    w = words_col(F.col(text_col))
+    mk = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.struct(
+            F.element_at(w, i + 1).alias("w1"),
+            F.element_at(w, i + 2).alias("w2"),
+        ),
+    )
+    # sequence(0, -1) DESCENDS in Spark, so guard the < 2-word case
+    # explicitly (same shape as shingles_col)
+    pairs = F.when(F.size(w) >= 2, mk).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    return (
+        docs.select(*id_cols, F.explode(pairs).alias("bg"))
+        .select(*id_cols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(reference: DataFrame, text_col: str = "text") -> DataFrame:
+    """reference(..., text) -> model(w1, w2, c12, c1).
+
+    ``c12`` = corpus count of the bigram, ``c1`` = count of ``w1`` as a
+    bigram left-word (so MLE p(w2|w1) = c12/c1 sums to 1 per w1).  Two
+    partial-agg shuffles on model-sized data plus one model×vocab join;
+    the reference corpus text itself is never shuffled.
+    """
+    bg = _bigram_rows(reference.where(F.col(text_col).isNotNull()), [], text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return c12.join(c1, "w1").select("w1", "w2", "c12", "c1")
+
+
+def p_micro_col(c12: Column, c1: Column) -> Column:
+    """floor(c12/c1 * 1e6) as int64 — exact for counts < 2^53."""
+    return F.floor(
+        c12.cast("double") / c1.cast("double") * F.lit(float(MICRO))
+    ).cast("long")
+
+
+def score_bigram_lm(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs(id, text) x model -> (id, n_bigrams, n_oov, sum_p_micro).
+
+    ``n_oov`` counts document bigrams absent from the model (score 0 —
+    an unsmoothed MLE; smoothing constants cancel in ranking and would
+    drag floats across the engine boundary).  ``sum_p_micro`` is the
+    exact int64 sum of per-bigram micro-probabilities; callers derive
+    ``mean p = sum_p_micro / n_bigrams / 1e6`` or any monotone filter
+    threshold from it.  Docs with < 2 words score (0, 0, 0) — reported,
+    not dropped, per the M6 corrupt-row contract.
+    """
+    bg = _bigram_rows(
+        docs.where(F.col(text_col).isNotNull()), [id_col], text_col
+    )
+    scored = bg.join(model, ["w1", "w2"], "left").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("c12").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.sum(
+            F.when(F.col("c12").isNull(), F.lit(0).cast("long")).otherwise(
+                p_micro_col(F.col("c12"), F.col("c1"))
+            )
+        ).alias("sum_p_micro"),
+    )
+    ids = docs.select(id_col).distinct()
+    return (
+        ids.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.coalesce("sum_p_micro", F.lit(0)).alias("sum_p_micro"),
+        )
+    )

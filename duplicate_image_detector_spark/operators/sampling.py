@@ -1,0 +1,75 @@
+"""Deterministic stratified sampling — the data-mixing step of an LLM
+pipeline: down/up-weight strata (language, source, quality bucket) to a
+target mixture by KEEPING a per-stratum fraction of documents.
+
+Two properties a training-data sampler needs that ``df.sample`` lacks:
+
+* **Determinism**: membership is a pure function of the document id, so
+  re-running the pipeline (or resuming half of it) selects the same
+  rows — no RNG state, no partition-order dependence.
+* **Stratification**: each stratum gets its own keep-fraction, joined
+  in as a (broadcast) rates table rather than a giant CASE, so mixtures
+  are data, not code.
+
+Membership: ``sample_hash(id) % 1e6 < floor(fraction * 1e6)`` — a
+sub-ppm-resolution coin that is integer-exact, so the SQL oracle can
+replay it byte-for-byte.  The hash is a two-limb multiplicative mix
+(below) chosen over ``xxhash64`` deliberately: it is expressible in
+ANSI SQL in any engine, and it stays inside int64 under ANSI overflow
+checking for any ``|id| < 2^63 / 2654435761 * 1000003`` (≈ 3.5e15 —
+comfortably past any crawl's doc count).  Ids are assumed non-negative
+(crawl sequence numbers); the plan is scan → broadcast-join → filter,
+zero shuffles of the corpus at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_A = 2_654_435_761          # Knuth multiplicative constant (2^32 / phi)
+_B = 40_503                 # 16-bit Fibonacci-hash constant
+_LIMB = 1_000_003           # prime limb split keeps products < 2^62
+MICRO = 1_000_000
+
+
+def sample_hash_col(id_col: Column) -> Column:
+    """int64 in [0, 2^32): mixes both limbs of the id so neither low
+    nor high bits of sequential ids bias the coin."""
+    lo = id_col % F.lit(_LIMB)
+    hi = (id_col - lo) / F.lit(_LIMB)  # exact: multiple of _LIMB / _LIMB
+    return (
+        (lo * F.lit(_A) + hi.cast("long") * F.lit(_B) + F.lit(7))
+        % F.lit(4_294_967_296)
+    ).cast("long")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    strata_cols: list[str],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """docs x rates(strata..., fraction) -> the kept rows, plus the
+    ``sample_hash`` column for audit.  Strata absent from ``rates``
+    keep ``default_fraction``.  ``rates`` is an eval-suite-sized table
+    (one row per stratum) and is explicitly broadcast."""
+    r = rates.select(
+        *strata_cols,
+        F.floor(F.col("fraction") * MICRO).cast("long").alias("_keep_micro"),
+    )
+    h = sample_hash_col(F.col(id_col))
+    return (
+        docs.join(F.broadcast(r), strata_cols, "left")
+        .withColumn(
+            "_keep_micro",
+            F.coalesce(
+                "_keep_micro",
+                F.lit(int(default_fraction * MICRO)).cast("long"),
+            ),
+        )
+        .where((h % MICRO) < F.col("_keep_micro"))
+        .drop("_keep_micro")
+        .withColumn("sample_hash", h)
+    )

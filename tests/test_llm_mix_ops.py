@@ -1,0 +1,174 @@
+"""Bigram-LM scoring, sequence packing, stratified sampling: exact
+fixtures, edge cases (short docs, absent strata), determinism across
+parallelism, and plan audits (broadcast where promised, no corpus
+shuffle in the sampler)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duplicate_image_detector_spark.operators.lm_filter import (
+    score_bigram_lm,
+    train_bigram_lm,
+)
+from duplicate_image_detector_spark.operators.packing import pack_sequences
+from duplicate_image_detector_spark.operators.sampling import (
+    sample_hash_col,
+    stratified_sample,
+)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+def test_train_bigram_lm_counts(spark):
+    ref = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    m = {(r["w1"], r["w2"]): (r["c12"], r["c1"]) for r in train_bigram_lm(ref).collect()}
+    # "a b" occurs 3x; left-word "a" occurs 3x; left-word "b" occurs 3x
+    assert m[("a", "b")] == (3, 3)
+    assert m[("b", "a")] == (1, 3)
+    assert m[("b", "c")] == (1, 3)
+    assert m[("b", "x")] == (1, 3)
+    assert len(m) == 4
+
+
+def test_score_bigram_lm_exact_and_oov(spark):
+    ref = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    model = train_bigram_lm(ref)  # p(b|a)=1, p(a|b)=1/3, p(c|b)=1/3... wait
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c"),      # "a b" p=2/2=1.0; "b c" p=1/2
+            (11, "a zz b"),     # both bigrams OOV
+            (12, "single"),     # < 2 words -> (0, 0, 0)
+            (13, None),         # corrupt row -> (0, 0, 0)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in score_bigram_lm(docs, model).collect()}
+    # model from "a b a b c": c12(a,b)=2 c1(a)=2; c12(b,a)=1, c12(b,c)=1, c1(b)=2
+    assert (got[10]["n_bigrams"], got[10]["n_oov"]) == (2, 0)
+    assert got[10]["sum_p_micro"] == 1_000_000 + 500_000
+    assert (got[11]["n_bigrams"], got[11]["n_oov"], got[11]["sum_p_micro"]) == (2, 2, 0)
+    assert (got[12]["n_bigrams"], got[12]["n_oov"], got[12]["sum_p_micro"]) == (0, 0, 0)
+    assert (got[13]["n_bigrams"], got[13]["n_oov"], got[13]["sum_p_micro"]) == (0, 0, 0)
+
+
+def test_bigram_lm_probabilities_normalize(spark):
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat", "the cat ran", "a cat sat the mat"]
+        )],
+        "doc_id long, text string",
+    )
+    rows = train_bigram_lm(ref).collect()
+    by_w1: dict[str, list] = {}
+    for r in rows:
+        by_w1.setdefault(r["w1"], []).append(r)
+    for w1, grp in by_w1.items():
+        # c1 really is "count of w1 as a left word": MLE p(.|w1) sums to 1
+        assert sum(r["c12"] for r in grp) == grp[0]["c1"], w1
+        assert all(r["c1"] == grp[0]["c1"] for r in grp)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_chunking(spark):
+    # one shard so the layout is a single stream; budgets force a spill
+    docs = spark.createDataFrame(
+        [(0, "w " * 5), (1, "w " * 3), (2, "w " * 4), (3, "w " * 2)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, max_tokens=6, n_shards=1).collect()
+    }
+    # stream offsets: 0, 5, 8, 12 -> seqs 0, 0, 1, 2
+    assert [(got[i]["seq"], got[i]["offset_in_seq"]) for i in range(4)] == [
+        (0, 0), (0, 5), (1, 2), (2, 0)
+    ]
+    assert all(got[i]["shard"] == 0 for i in range(4))
+
+
+def test_pack_sequences_sharding_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok " * (1 + i % 7)) for i in range(100)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_sequences(docs, 16, n_shards=4).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(13), 16, n_shards=4).collect()))
+    assert a == b  # partition-order independent
+    shards = {t[2] for t in a}
+    assert shards == {0, 1, 2, 3}
+    # within a shard, offsets reconstruct the exclusive prefix sum
+    for shard in shards:
+        rows = sorted(t for t in a if t[2] == shard)
+        run = 0
+        for doc_id, n_tokens, _, seq, off in rows:
+            assert seq == run // 16 and off == run % 16, doc_id
+            run += n_tokens
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def _docs_strata(spark, n=2000):
+    return spark.createDataFrame(
+        [(i, ["en", "de", "zh"][i % 3]) for i in range(n)],
+        "doc_id long, lang string",
+    )
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs_strata(spark)
+    rates = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.1)], "lang string, fraction double"
+    )
+    kept = stratified_sample(docs, rates, ["lang"], default_fraction=0.25)
+    rows = kept.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in rows}
+    # ~667 per stratum; binomial 5-sigma bounds
+    assert 270 <= by_lang["en"] <= 400
+    assert 30 <= by_lang["de"] <= 110
+    assert 110 <= by_lang["zh"] <= 220  # default fraction applied
+    again = stratified_sample(
+        docs.repartition(17), rates, ["lang"], default_fraction=0.25
+    )
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_stratified_sample_zero_default_drops_unlisted(spark):
+    docs = _docs_strata(spark, 300)
+    rates = spark.createDataFrame([("en", 1.0)], "lang string, fraction double")
+    kept = stratified_sample(docs, rates, ["lang"])
+    assert kept.where(F.col("lang") != "en").count() == 0
+    assert kept.count() == 100  # fraction 1.0 keeps every 'en' row
+
+
+def test_sample_hash_range_and_spread(spark):
+    df = spark.range(0, 5000).select(sample_hash_col(F.col("id")).alias("h"))
+    stats = df.agg(
+        F.min("h"), F.max("h"), F.countDistinct(F.col("h") % 2).alias("par")
+    ).collect()[0]
+    assert stats[0] >= 0 and stats[1] < 2**32 and stats[2] == 2
+    # the millionths coin is roughly uniform: 5000 ids, keep < 100000/1e6
+    frac = df.where((F.col("h") % 1000000) < 100000).count() / 5000
+    assert 0.07 < frac < 0.13
+
+
+def test_sampler_plan_broadcasts_rates_no_corpus_shuffle(spark):
+    docs = _docs_strata(spark, 500)
+    rates = spark.createDataFrame([("en", 0.5)], "lang string, fraction double")
+    plan = (
+        stratified_sample(docs, rates, ["lang"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the docs side reaches the join without an Exchange (scan->filter->join)
+    assert plan.count("Exchange") <= 1  # only the broadcast side exchanges
