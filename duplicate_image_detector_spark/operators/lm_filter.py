@@ -25,7 +25,7 @@ a monotone transform of the exact aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from duplicate_image_detector_spark.functions.text import words_col
@@ -60,14 +60,21 @@ def train_bigram_lm(reference: DataFrame, text_col: str = "text") -> DataFrame:
     """reference(..., text) -> model(w1, w2, c12, c1).
 
     ``c12`` = corpus count of the bigram, ``c1`` = count of ``w1`` as a
-    bigram left-word (so MLE p(w2|w1) = c12/c1 sums to 1 per w1).  Two
-    partial-agg shuffles on model-sized data plus one model×vocab join;
-    the reference corpus text itself is never shuffled.
+    bigram left-word (so MLE p(w2|w1) = c12/c1 sums to 1 per w1).
+
+    ``c1`` is a window sum over the aggregated model rows rather than a
+    separate groupBy + join: the obvious ``c12.join(c12.groupBy(...))``
+    evaluates the c12 subtree TWICE (Catalyst does not dedupe common
+    subplans), i.e. two full shuffles of the raw bigram stream.  The
+    window form shuffles the bigram stream once (the partial-agg
+    groupBy) and then repartitions only model-sized rows by ``w1``.
     """
     bg = _bigram_rows(reference.where(F.col(text_col).isNotNull()), [], text_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    return c12.join(c1, "w1").select("w1", "w2", "c12", "c1")
+    w = Window.partitionBy("w1")
+    return c12.select(
+        "w1", "w2", "c12", F.sum("c12").over(w).alias("c1")
+    )
 
 
 def p_micro_col(c12: Column, c1: Column) -> Column:
