@@ -53,17 +53,38 @@ def words_col(text: Column | str) -> Column:
     return F.filter(split, lambda x: x != F.lit(""))
 
 
-def shingles_col(words: Column, k: int) -> Column:
-    """Distinct k-word shingles (space-joined); empty array if < k words."""
-    mk = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+def grams_col(words: Column, k: int) -> Column:
+    """All k-word grams in order, with multiplicity (space-joined);
+    empty array if < k words.
+
+    Built as a zip_with chain over k shifted slices — NOT as
+    ``transform(sequence(...), lambda i: ...slice(words, i+1, k))``.
+    The transform form references the ``words`` expression inside the
+    per-element lambda, and Catalyst re-evaluates the referenced
+    subtree PER ELEMENT: when ``words`` is an unmaterialized
+    ``words_col(text)`` the whole lower+regexp+split+filter chain runs
+    once per word, O(n_words x text_len) per document — measured 100x
+    slower on 4.6 KB pages (62 s -> 0.6 s for 116k bigrams).  The
+    zip_with form references ``words`` 2k times per ROW, a constant.
+    """
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    acc = F.slice(words, 1, n)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, 1 + j, n),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    )
-    return F.when(F.size(words) >= k, mk).otherwise(
+    return F.when(F.size(words) >= k, acc).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles_col(words: Column, k: int) -> Column:
+    """Distinct k-word shingles (space-joined); empty array if < k words."""
+    return F.when(
+        F.size(words) >= k, F.array_distinct(grams_col(words, k))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def text_sha256_col(text: Column | str) -> Column:

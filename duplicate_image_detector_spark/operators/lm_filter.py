@@ -37,18 +37,16 @@ def _bigram_rows(docs: DataFrame, id_cols: list[str], text_col: str) -> DataFram
     """One row per ADJACENT word pair occurrence (with multiplicity —
     an LM counts occurrences, unlike the distinct shingles the dedup
     tiers use)."""
+    # zip_with over two shifted slices, NOT transform(sequence(...)) —
+    # the lambda in the transform form re-evaluates the words_col
+    # subtree per element (O(n_words x text_len) per doc; measured 100x
+    # on 4.6 KB pages).  See grams_col in functions/text.py.
     w = words_col(F.col(text_col))
-    mk = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.struct(
-            F.element_at(w, i + 1).alias("w1"),
-            F.element_at(w, i + 2).alias("w2"),
-        ),
-    )
-    # sequence(0, -1) DESCENDS in Spark, so guard the < 2-word case
-    # explicitly (same shape as shingles_col)
-    pairs = F.when(F.size(w) >= 2, mk).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, n1),
+        F.slice(w, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     return (
         docs.select(*id_cols, F.explode(pairs).alias("bg"))

@@ -37,21 +37,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from duplicate_image_detector_spark.functions.text import words_col
+from duplicate_image_detector_spark.functions.text import (
+    grams_col,
+    words_col,
+)
 
 
 def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, gram) — one row per word-n-gram OCCURRENCE (not
-    distinct: occurrence counts are the statistic)."""
-    words = words_col(F.col("text"))
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(grams).alias("gram"))
+    distinct: occurrence counts are the statistic).  grams_col is the
+    zip_with kernel — the transform(sequence) form re-evaluates the
+    tokenizer per element (see functions/text.py)."""
+    return docs.select(
+        "doc_id", F.explode(grams_col(words_col(F.col("text")), n)).alias("gram")
+    )
 
 
 def _ratio(num, den) -> F.Column:
