@@ -881,6 +881,147 @@ def run_scaling_incremental(
     print(json.dumps(summary))
 
 
+def run_scaling_mix_worker(cpus: int, input_path: str, n_docs: int = 0) -> None:
+    """Measure the round-5 mixing/packaging tail — bigram-LM train+score,
+    sequence packing, stratified sampling — over the bench corpus at one
+    parallelism level; print one JSON line with walls and int64 output
+    checksums (the determinism-across-parallelism invariant).
+
+    Carries the same in-worker raw-hardware control as the other
+    scaling workers so efficiencies can be read against the VM's
+    deliverable scaling in that window."""
+    raw_wall = _raw_hardware_ceiling(levels=(cpus,))[cpus]
+    spark = _spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from duplicate_image_detector_spark.operators.lm_filter import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+    from duplicate_image_detector_spark.operators.packing import pack_sequences
+    from duplicate_image_detector_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(input_path).select(
+        F.abs(F.xxhash64("url")).alias("doc_id"),
+        "text",
+        (F.abs(F.xxhash64("url")) % 5).cast("string").alias("stratum"),
+    )
+    if n_docs:
+        docs = docs.limit(n_docs)
+    docs = docs.persist()
+    n = docs.count()  # materialize ONCE so op walls exclude the text scan
+
+    out: dict = {"cpus": cpus, "n_docs": n, "raw_kernel_wall_sec": raw_wall}
+
+    t0 = time.time()
+    model = train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    scored = score_bigram_lm(docs, model)
+    agg = scored.agg(
+        F.count(F.lit(1)), F.sum("n_bigrams"), F.sum("n_oov"),
+        F.sum("sum_p_micro"),
+    ).collect()[0]
+    out["t_lm_sec"] = round(time.time() - t0, 3)
+    out["lm_checksum"] = [int(x) for x in agg]
+
+    t0 = time.time()
+    # n_shards FIXED across levels: shard layout is part of the output
+    # (seq keys), so the determinism invariant requires it constant —
+    # parallelism comes from partitioning, not the shard count
+    packed = pack_sequences(docs, max_tokens=2048, n_shards=128)
+    agg = packed.agg(
+        F.sum("n_tokens"), F.sum("seq"), F.sum("offset_in_seq")
+    ).collect()[0]
+    out["t_pack_sec"] = round(time.time() - t0, 3)
+    out["pack_checksum"] = [int(x) for x in agg]
+
+    t0 = time.time()
+    rates = spark.createDataFrame(
+        [("0", 0.5), ("1", 0.25), ("2", 0.125), ("3", 0.0625)],
+        "stratum string, fraction double",
+    )
+    kept = stratified_sample(
+        docs.drop("text"), rates, ["stratum"], default_fraction=0.02
+    )
+    agg = kept.agg(
+        F.count(F.lit(1)), F.bit_xor("doc_id"), F.bit_xor("sample_hash")
+    ).collect()[0]
+    out["t_sample_sec"] = round(time.time() - t0, 3)
+    out["sample_checksum"] = [int(x) for x in agg]
+
+    out["t_mix_total_sec"] = round(
+        out["t_lm_sec"] + out["t_pack_sec"] + out["t_sample_sec"], 3
+    )
+    docs.unpersist()
+    spark.stop()
+    print(json.dumps(out))
+
+
+def run_scaling_mix(levels=(2, 8, 32), n_docs: int = 500000) -> None:
+    """Mixing/packaging ops at N vs 4N cores over the same corpus, with
+    a 1k-doc floor probe per level (these are short full-corpus jobs, so
+    the JVM/planning floor is a real fraction of the wall — efficiency
+    is reported over MARGINAL walls, same protocol as the incremental
+    leg)."""
+    corpus = _ensure_corpus(n_docs)
+
+    def worker(cpus: int, limit: int) -> dict:
+        print(f"mix scaling run at local[{cpus}] limit={limit} ...",
+              file=sys.stderr)
+        cmd = [sys.executable, __file__, "--scaling-mix-worker",
+               "--cpus", str(cpus), "--input", corpus]
+        if limit:
+            cmd += ["--docs", str(limit)]
+        res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+        print(line, file=sys.stderr)
+        return json.loads(line)
+
+    floors = {c: worker(c, 1000) for c in levels}
+    results = {c: worker(c, 0) for c in levels}
+
+    walls = {c: results[c]["t_mix_total_sec"] for c in levels}
+    fwalls = {c: floors[c]["t_mix_total_sec"] for c in levels}
+    marg = {c: walls[c] - fwalls[c] for c in levels}
+    raw = {c: results[c]["raw_kernel_wall_sec"] for c in levels}
+
+    def eff(lo: int, hi: int, d: dict) -> float:
+        return round((d[lo] / d[hi]) / (hi / lo), 3)
+
+    pairs = [(levels[i], levels[i + 1]) for i in range(len(levels) - 1)]
+    checks = {
+        k: len({tuple(results[c][k]) for c in levels}) == 1
+        for k in ("lm_checksum", "pack_checksum", "sample_checksum")
+    }
+    summary = {
+        "metric": "scaling_efficiency_mix_marginal",
+        "value": eff(*pairs[0], marg),
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "pairs": {
+            f"{lo}_to_{hi}": {
+                "engine_marginal": eff(lo, hi, marg),
+                "engine_raw_wall": eff(lo, hi, walls),
+                "raw_hardware_ceiling": eff(lo, hi, raw),
+            }
+            for lo, hi in pairs
+        },
+        "fixed_floor_walls_sec": fwalls,
+        "marginal_walls_sec": {c: round(m, 3) for c, m in marg.items()},
+        "raw_walls_sec": raw,
+        "output_identical_across_levels": checks,
+        "floor_runs": floors,
+        "runs": results,
+        "target": 0.8,
+    }
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(os.path.join(BENCH_DIR, "scaling_mix.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps(summary))
+
+
 def run_scaling_incremental_corpus(
     n_delta: int = 200000, n_old_small: int = 500000, n_old_big: int = 2000000
 ) -> None:
@@ -1153,6 +1294,18 @@ if __name__ == "__main__":
             bands=_opt("--bands"),
             chunks=_opt("--chunks"),
         )
+    elif "--scaling-mix-worker" in sys.argv:
+        run_scaling_mix_worker(
+            int(sys.argv[sys.argv.index("--cpus") + 1]),
+            sys.argv[sys.argv.index("--input") + 1],
+            n_docs=(
+                int(sys.argv[sys.argv.index("--docs") + 1])
+                if "--docs" in sys.argv
+                else 0
+            ),
+        )
+    elif "--scaling-mix" in sys.argv:
+        run_scaling_mix()
     elif "--scaling-incremental-corpus" in sys.argv:
         run_scaling_incremental_corpus()
     elif "--scaling-incremental" in sys.argv:
