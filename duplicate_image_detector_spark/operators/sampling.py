@@ -16,10 +16,10 @@ sub-ppm-resolution coin that is integer-exact, so the SQL oracle can
 replay it byte-for-byte.  The hash is a two-limb multiplicative mix
 (below) chosen over ``xxhash64`` deliberately: it is expressible in
 ANSI SQL in any engine, and it stays inside int64 under ANSI overflow
-checking for any ``|id| < 2^63 / 2654435761 * 1000003`` (≈ 3.5e15 —
-comfortably past any crawl's doc count).  Ids are assumed non-negative
-(crawl sequence numbers); the plan is scan → broadcast-join → filter,
-zero shuffles of the corpus at any scale.
+checking for any ``|id| < 2^53`` (where the limb split's double
+division is exact — comfortably past any crawl's doc count, and
+sign-safe via pmod for hash-derived ids).  The plan is scan →
+broadcast-join → filter, zero shuffles of the corpus at any scale.
 """
 
 from __future__ import annotations
@@ -35,12 +35,19 @@ MICRO = 1_000_000
 
 def sample_hash_col(id_col: Column) -> Column:
     """int64 in [0, 2^32): mixes both limbs of the id so neither low
-    nor high bits of sequential ids bias the coin."""
-    lo = id_col % F.lit(_LIMB)
+    nor high bits of sequential ids bias the coin.
+
+    pmod (not ``%``) everywhere: Spark's ``%`` keeps the dividend's
+    sign, so a negative id would yield a negative hash whose
+    ``% 1e6`` coin is ALWAYS below any keep threshold — every
+    negative-id row silently kept.  With pmod the hash is well-defined
+    for any ``|id| < 2^53`` (the limb split rides through an exact
+    double division)."""
+    lo = F.pmod(id_col, F.lit(_LIMB))
     hi = (id_col - lo) / F.lit(_LIMB)  # exact: multiple of _LIMB / _LIMB
-    return (
-        (lo * F.lit(_A) + hi.cast("long") * F.lit(_B) + F.lit(7))
-        % F.lit(4_294_967_296)
+    return F.pmod(
+        lo * F.lit(_A) + hi.cast("long") * F.lit(_B) + F.lit(7),
+        F.lit(4_294_967_296),
     ).cast("long")
 
 

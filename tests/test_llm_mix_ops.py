@@ -161,6 +161,19 @@ def test_sample_hash_range_and_spread(spark):
     assert 0.07 < frac < 0.13
 
 
+def test_sample_hash_negative_ids(spark):
+    # Spark's % keeps the dividend sign: without pmod a negative id
+    # hashes negative and its %1e6 coin passes EVERY fraction filter
+    df = spark.createDataFrame(
+        [(i,) for i in range(-3000, 0)], "doc_id long"
+    ).withColumn("lang", F.lit("xx"))
+    rates = spark.createDataFrame([("xx", 0.1)], "lang string, fraction double")
+    kept = stratified_sample(df, rates, ["lang"])
+    rows = kept.collect()
+    assert all(0 <= r["sample_hash"] < 2**32 for r in rows)
+    assert 200 <= len(rows) <= 420  # ~300 expected; all-3000 = the bug
+
+
 def test_sampler_plan_broadcasts_rates_no_corpus_shuffle(spark):
     docs = _docs_strata(spark, 500)
     rates = spark.createDataFrame([("en", 0.5)], "lang string, fraction double")
