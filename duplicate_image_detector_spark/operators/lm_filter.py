@@ -54,8 +54,20 @@ def _bigram_rows(docs: DataFrame, id_cols: list[str], text_col: str) -> DataFram
     )
 
 
-def train_bigram_lm(reference: DataFrame, text_col: str = "text") -> DataFrame:
-    """reference(..., text) -> model(w1, w2, c12, c1).
+def train_bigram_lm(
+    reference: DataFrame, text_col: str = "text", hash_keys: bool = False
+) -> DataFrame:
+    """reference(..., text) -> model(w1, w2, c12, c1), or with
+    ``hash_keys=True`` -> model(kb, k1, c12, c1) where ``kb`` =
+    xxhash64(w1, w2) and ``k1`` = xxhash64(w1).
+
+    ``hash_keys`` is the web-scale shuffle knob: the training groupBy
+    and the scoring join then move 8-byte int64 keys instead of string
+    pairs (smaller shuffle, cheaper key compares).  Cost: a ~n²/2^65
+    chance of a bigram-count collision (a handful of rows at 10^10
+    distinct bigrams — noise for a quality score) and no DuckDB oracle
+    (xxhash64 is Spark-specific), which is why the gate runs the string
+    path; equivalence on collision-free fixtures is pytest-pinned.
 
     ``c12`` = corpus count of the bigram, ``c1`` = count of ``w1`` as a
     bigram left-word (so MLE p(w2|w1) = c12/c1 sums to 1 per w1).
@@ -68,6 +80,13 @@ def train_bigram_lm(reference: DataFrame, text_col: str = "text") -> DataFrame:
     groupBy) and then repartitions only model-sized rows by ``w1``.
     """
     bg = _bigram_rows(reference.where(F.col(text_col).isNotNull()), [], text_col)
+    if hash_keys:
+        keyed = bg.select(
+            F.xxhash64("w1", "w2").alias("kb"), F.xxhash64("w1").alias("k1")
+        )
+        c12 = keyed.groupBy("kb", "k1").agg(F.count(F.lit(1)).alias("c12"))
+        w = Window.partitionBy("k1")
+        return c12.select("kb", "k1", "c12", F.sum("c12").over(w).alias("c1"))
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     w = Window.partitionBy("w1")
     return c12.select(
@@ -101,7 +120,12 @@ def score_bigram_lm(
     bg = _bigram_rows(
         docs.where(F.col(text_col).isNotNull()), [id_col], text_col
     )
-    scored = bg.join(model, ["w1", "w2"], "left").groupBy(id_col).agg(
+    if "kb" in model.columns:  # hash-keyed model (train hash_keys=True)
+        bg = bg.select(id_col, F.xxhash64("w1", "w2").alias("kb"))
+        join_keys = ["kb"]
+    else:
+        join_keys = ["w1", "w2"]
+    scored = bg.join(model, join_keys, "left").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum(F.when(F.col("c12").isNull(), 1).otherwise(0)).alias("n_oov"),
         F.sum(

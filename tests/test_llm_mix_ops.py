@@ -73,6 +73,20 @@ def test_bigram_lm_probabilities_normalize(spark):
         assert all(r["c1"] == grp[0]["c1"] for r in grp)
 
 
+def test_bigram_lm_hash_keys_equivalent(spark):
+    # the int64-keyed shuffle path scores identically on a
+    # collision-free corpus (collisions ~ n^2/2^65)
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{(i * 3) % 11} tail word soup here w{i % 5}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    ref = docs.where("doc_id % 2 = 0")
+    slow = score_bigram_lm(docs, train_bigram_lm(ref)).collect()
+    fast = score_bigram_lm(docs, train_bigram_lm(ref, hash_keys=True)).collect()
+    assert sorted(map(tuple, slow)) == sorted(map(tuple, fast))
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
