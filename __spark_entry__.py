@@ -858,6 +858,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, rates, ["lang"], default_fraction=0.02)
 
 
+def q_host_diversity_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-diversity capping at max 10 docs/source: over-cap hosts
+    pass a deterministic hash coin at fraction cap/count (no giant
+    per-host windows), under-cap hosts pass wholesale."""
+    from duplicate_image_detector_spark.operators.sampling import (
+        cap_per_host,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return cap_per_host(d, "source", max_per_host=10).select(
+        "doc_id", "source", "host_count"
+    )
+
+
 def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three raw spellings per canonical page (uppercase scheme/host +
     default port + www + tracking params + fragment + trailing slash +
@@ -1149,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
+        "host_diversity_cap": q_host_diversity_cap,
         "tpch_q1": q_tpch_q1,
         "top_orders_per_cust": q_top_orders_per_cust,
         "customers_without_orders": q_customers_without_orders,
@@ -1803,6 +1818,21 @@ WHERE sample_hash % 1000000 < CASE lang
 """
 
 
+# same hash constants as _STRATIFIED_SAMPLE_SQL; keep threshold =
+# floor(cap*1e6 / host_count) replays the engine's exact double division
+_HOST_CAP_SQL = """
+WITH c AS (SELECT source, count(*)::BIGINT AS host_count
+           FROM documents GROUP BY source),
+j AS (SELECT d.doc_id, d.source, c.host_count,
+    ((d.doc_id % 1000003) * 2654435761 + (d.doc_id // 1000003) * 40503 + 7)
+      % 4294967296 AS h
+  FROM documents d JOIN c USING (source))
+SELECT doc_id, source, host_count FROM j
+WHERE host_count <= 10
+   OR (h % 1000000) < floor(10000000.0 / host_count)::BIGINT
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "repeated_line_stats": _LINE_STATS_SQL,
@@ -1813,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": _BIGRAM_LM_SQL,
         "sequence_packing": _SEQUENCE_PACKING_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "host_diversity_cap": _HOST_CAP_SQL,
         "line_dedup_docs": _LINE_DEDUP_DOCS_SQL,
         "line_dedup_first": _LINE_DEDUP_FIRST_SQL,
         "exact_canon_clusters": _EXACT_CANON_SQL,

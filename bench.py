@@ -162,6 +162,7 @@ def run_default() -> None:
     timed("bigram_lm_score", lambda: E.q_bigram_lm_score(spark, sf_dir).count())
     timed("sequence_packing", lambda: E.q_sequence_packing(spark, sf_dir).count())
     timed("stratified_sample", lambda: E.q_stratified_sample(spark, sf_dir).count())
+    timed("host_diversity_cap", lambda: E.q_host_diversity_cap(spark, sf_dir).count())
     timed("token_stats", lambda: E.q_token_stats(spark, sf_dir).count())
     timed("quality_score", lambda: E.q_quality_score(spark, sf_dir).count())
     timed("lang_id", lambda: E.q_lang_id(spark, sf_dir).count())

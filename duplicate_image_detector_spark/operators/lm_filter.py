@@ -144,3 +144,34 @@ def score_bigram_lm(
             F.coalesce("sum_p_micro", F.lit(0)).alias("sum_p_micro"),
         )
     )
+
+
+def with_log2_perplexity(scored: DataFrame, oov_p: float = 1e-7) -> DataFrame:
+    """Add the conventional ``log2_ppl`` view of a score row (mean
+    negative log2 transition probability; OOV bigrams at ``oov_p``).
+
+    Engine-side convenience only — derived from the exact aggregates
+    via a MONOTONE-ish approximation (log of the mean, not mean of
+    logs, because per-bigram probabilities are already folded into
+    ``sum_p_micro``); thresholding/filtering semantics match CCNet
+    usage.  Deliberately NOT part of any hash gate: cross-libm log ULP
+    differences make float hashes flaky (see module docstring).
+    """
+    n = F.col("n_bigrams")
+    hits = n - F.col("n_oov")
+    mean_hit_p = F.when(
+        hits > 0,
+        F.col("sum_p_micro").cast("double") / (hits.cast("double") * 1e6),
+    ).otherwise(F.lit(None))
+    # blend hit mass and OOV mass in probability space, then one log
+    blended = F.when(
+        n > 0,
+        (
+            F.coalesce(mean_hit_p, F.lit(0.0)) * hits.cast("double")
+            + F.lit(oov_p) * F.col("n_oov").cast("double")
+        )
+        / n.cast("double"),
+    )
+    return scored.withColumn(
+        "log2_ppl", F.when(n > 0, -F.log2(F.greatest(blended, F.lit(1e-12))))
+    )

@@ -51,6 +51,41 @@ def sample_hash_col(id_col: Column) -> Column:
     ).cast("long")
 
 
+def cap_per_host(
+    docs: DataFrame,
+    host_col: str,
+    max_per_host: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-diversity capping — down-sample hosts that dominate the
+    crawl so no single domain floods the training mix (the FineWeb /
+    Gopher "domain diversity" stage).
+
+    Scale-honest design: the EXACT top-N-per-host alternative is a
+    window sort whose worst partition is the hottest host (10^9 rows on
+    one reducer for a link farm).  Instead: one partial-agg count per
+    host, then rows of an over-cap host pass a deterministic hash coin
+    with fraction ``max_per_host / host_count`` — expected kept ≈ cap
+    with binomial noise, membership a pure function of (id, counts), so
+    the result is reproducible and SQL-replayable exactly.  Under-cap
+    hosts pass wholesale without any per-row coin.  Adds ``host_count``
+    (pre-cap) for audit."""
+    counts = docs.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("host_count")
+    )
+    h = sample_hash_col(F.col(id_col))
+    keep_micro = F.floor(
+        F.lit(float(max_per_host * MICRO)) / F.col("host_count").cast("double")
+    ).cast("long")
+    return (
+        docs.join(counts, host_col)
+        .where(
+            (F.col("host_count") <= max_per_host)
+            | (F.pmod(h, F.lit(MICRO)) < keep_micro)
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: DataFrame,

@@ -188,6 +188,50 @@ def test_sample_hash_negative_ids(spark):
     assert 200 <= len(rows) <= 420  # ~300 expected; all-3000 = the bug
 
 
+def test_cap_per_host(spark):
+    from duplicate_image_detector_spark.operators.sampling import cap_per_host
+
+    docs = spark.createDataFrame(
+        [(i, "hot" if i < 4000 else f"h{i % 97}") for i in range(5000)],
+        "doc_id long, host string",
+    )
+    kept = cap_per_host(docs, "host", max_per_host=100)
+    by = {r["host"]: r["count"] for r in kept.groupBy("host").count().collect()}
+    # hot host (4000 docs) down-sampled toward 100 (binomial, 5-sigma)
+    assert 50 <= by["hot"] <= 160
+    # under-cap hosts pass wholesale (~10-11 docs each)
+    tails = {h: c for h, c in by.items() if h != "hot"}
+    assert len(tails) == 97 and all(c <= 12 for c in tails.values())
+    assert kept.where("host <> 'hot'").count() == 1000
+    # deterministic under repartition
+    again = cap_per_host(docs.repartition(13), "host", max_per_host=100)
+    assert sorted(map(tuple, kept.select("doc_id").collect())) == sorted(
+        map(tuple, again.select("doc_id").collect())
+    )
+    # audit column carries the PRE-cap size
+    assert kept.where("host = 'hot'").select("host_count").first()[0] == 4000
+
+
+def test_with_log2_perplexity(spark):
+    import math
+
+    from duplicate_image_detector_spark.operators.lm_filter import (
+        with_log2_perplexity,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 4, 0, 2_000_000), (2, 4, 4, 0), (3, 0, 0, 0)],
+        "doc_id long, n_bigrams long, n_oov long, sum_p_micro long",
+    )
+    got = {r["doc_id"]: r["log2_ppl"] for r in with_log2_perplexity(scored).collect()}
+    # doc 1: mean hit p = 0.5, no OOV -> log2_ppl = 1.0
+    assert abs(got[1] - 1.0) < 1e-9
+    # doc 2: all OOV at 1e-7 -> -log2(1e-7)
+    assert abs(got[2] - (-math.log2(1e-7))) < 1e-9
+    # doc 3: no bigrams -> null
+    assert got[3] is None
+
+
 def test_sampler_plan_broadcasts_rates_no_corpus_shuffle(spark):
     docs = _docs_strata(spark, 500)
     rates = spark.createDataFrame([("en", 0.5)], "lang string, fraction double")
