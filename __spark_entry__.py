@@ -1130,7 +1130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
-        "near_dup_clusters_id128": q_near_dup_clusters_id128,
         "pipeline_clusters": q_pipeline_clusters,
         "pipeline_clusters_exclude_exact": q_pipeline_clusters_exclude_exact,
         "daily_loop_clusters": q_daily_loop_clusters,
@@ -1177,6 +1176,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_stats": q_dup_stats,
         "windowed_event_counts": q_windowed_event_counts,
     }
+
+
+# The driver reports at most 50 gates (the round-5 report silently
+# truncated a 51-entry registry, dropping its LAST entry —
+# windowed_event_counts).  Gates retired to stay within that budget are
+# kept here, still pytest-verified against the same oracles by
+# tests/test_entry_oracle.py: near_dup_clusters_id128 exercises the
+# 128-bit id width through the identical CC plan as near_dup_clusters,
+# so it was the redundant row.
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {"near_dup_clusters_id128": q_near_dup_clusters_id128}
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {"near_dup_clusters_id128": _CC_SQL}
 
 
 # ---------------------------------------------------------------------------
@@ -1819,7 +1833,9 @@ WHERE sample_hash % 1000000 < CASE lang
 
 
 # same hash constants as _STRATIFIED_SAMPLE_SQL; keep threshold =
-# floor(cap*1e6 / host_count) replays the engine's exact double division
+# greatest(floor(cap*2^32 / host_count), 1) replays the engine's exact
+# double division over the FULL 2^32 hash range (2^-32 min fraction,
+# clamped so an ultra-hot host still keeps ~cap rows, never zero)
 _HOST_CAP_SQL = """
 WITH c AS (SELECT source, count(*)::BIGINT AS host_count
            FROM documents GROUP BY source),
@@ -1829,7 +1845,7 @@ j AS (SELECT d.doc_id, d.source, c.host_count,
   FROM documents d JOIN c USING (source))
 SELECT doc_id, source, host_count FROM j
 WHERE host_count <= 10
-   OR (h % 1000000) < floor(10000000.0 / host_count)::BIGINT
+   OR h < greatest(floor(10.0 * 4294967296.0 / host_count)::BIGINT, 1)
 """
 
 
@@ -1851,7 +1867,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
         "minhash_lsh_pairs": _NEAR_PAIRS,
         "near_dup_clusters": _CC_SQL,
-        "near_dup_clusters_id128": _CC_SQL,
         "pipeline_clusters": _PIPELINE_CC_SQL,
         "pipeline_clusters_exclude_exact": _PIPELINE_CC_SQL,
         # two-day incremental loop == the batch pipeline over the union

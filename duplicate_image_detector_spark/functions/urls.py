@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
+# anchored after authority+path: a bare "\\?([^#]*)" would match the
+# first '?' ANYWHERE, promoting fragment content into the query when
+# the fragment itself contains '?' (http://a/p#frag?x=1) — RFC 3986
+# says the query ends at the first '#', so such a '?' is fragment text
+_QUERY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^#?]*\\?([^#]*)"
 TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
 
 

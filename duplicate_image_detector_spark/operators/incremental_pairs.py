@@ -66,6 +66,16 @@ from duplicate_image_detector_spark.operators.simhash import (
 from duplicate_image_detector_spark.operators.verify import verify_pairs
 
 
+#: max delta-side distinct bucket keys the cross arms will HINT into a
+#: broadcast: ~10^7 (band_id, band_hash) rows ≈ 300 MB materialized on
+#: every executor — the practical ceiling for a driver-built broadcast
+#: table.  Above it the semi-join runs as a plain shuffle join and AQE
+#: picks the strategy (still one filtered pass over the old index; the
+#: docstring's 10^9-doc-delta case lands here instead of OOMing the
+#: driver with a ~17x10^9-row broadcast build).
+BROADCAST_KEY_LIMIT = 10_000_000
+
+
 def _chunk_rows(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # same pigeonhole key layout on both sides (simhash_key_rows default).
     # simhash rides along so the cross join can apply the Hamming filter
@@ -78,12 +88,36 @@ def _chunk_rows(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def _semi_filter_to_delta(
+    old_rows: DataFrame,
+    delta_keys: DataFrame,
+    keys: list[str],
+    approx_delta_keys: int | None = None,
+) -> DataFrame:
+    """left-semi filter the corpus-side index to delta-touched buckets.
+
+    ``approx_delta_keys``: a cheap upper bound on the delta's distinct
+    key count (rows x keys-per-row — already known by every caller from
+    the delta's materialized count).  At or below
+    ``BROADCAST_KEY_LIMIT`` the key set is broadcast so the corpus index
+    is filtered map-side without shuffling; above it (or when AQE is
+    left to decide with ``None`` semantics unavailable) the semi-join
+    runs unhinted — the old side still shuffles at most once, and the
+    driver never builds an un-broadcastable table.  Output is identical
+    either way (the hint changes strategy, not semantics)."""
+    dk = delta_keys.select(*keys).distinct()
+    if approx_delta_keys is None or approx_delta_keys <= BROADCAST_KEY_LIMIT:
+        dk = F.broadcast(dk)
+    return old_rows.join(dk, keys, "left_semi")
+
+
 def _delta_cross_candidates(
     new_rows: DataFrame,
     old_rows: DataFrame,
     keys: list[str],
     old_fanin_cap: int | None,
     hamming_max: int | None = None,
+    approx_delta_keys: int | None = None,
 ) -> DataFrame:
     """new-side rows x old-side rows sharing a bucket key -> (id_a, id_b)
     canonicalized.
@@ -98,15 +132,18 @@ def _delta_cross_candidates(
     them to the pivot, so connected components recovers the cluster.
     ``None`` disables the cap (oracle-exact mode).
 
-    Shuffle economy: the delta's distinct bucket keys are BROADCAST and
-    the old table is semi-filtered to delta-touched buckets map-side
-    BEFORE any stats or join — the corpus-scale index is scanned once
-    with a broadcast filter and never shuffled in full; the cap stats
-    and the final equi-join run over the touched subset only
-    (occupancy per touched bucket is unchanged by the filter, so cap
-    semantics are identical).  At a delta so large its key set cannot
-    broadcast (~10^9 docs), drop to a plain semi-join and let AQE pick
-    the strategy — still one filtered pass over the index.
+    Shuffle economy: the old table is semi-filtered to delta-touched
+    buckets BEFORE any stats or join — the corpus-scale index is
+    scanned once and never shuffled in full; the cap stats and the
+    final equi-join run over the touched subset only (occupancy per
+    touched bucket is unchanged by the filter, so cap semantics are
+    identical).  The delta's distinct key set is broadcast for a
+    map-side filter when ``approx_delta_keys`` (callers pass rows x
+    keys-per-row from the delta's already-materialized count) is within
+    ``BROADCAST_KEY_LIMIT``; a larger delta (~10^9 docs -> ~17x10^9
+    keys, un-broadcastable) falls back to a plain semi-join and AQE
+    picks the strategy — still one filtered pass over the index, and
+    the driver never builds the broadcast table the hint would force.
 
     ``hamming_max``: when set, both sides must carry a ``simhash``
     column and candidates are filtered to
@@ -117,8 +154,7 @@ def _delta_cross_candidates(
     volume (measured 3.0M junk / 5.5k real at 500k docs); one codegen'd
     xor per collision here beats a shingle-set verify per collision
     downstream by orders of magnitude."""
-    delta_keys = new_rows.select(*keys).distinct()
-    old = old_rows.join(F.broadcast(delta_keys), keys, "left_semi")
+    old = _semi_filter_to_delta(old_rows, new_rows, keys, approx_delta_keys)
     if old_fanin_cap is not None:
         stats = old.groupBy(*keys).agg(
             F.count("*").alias("_n"), F.min("doc_id").alias("_pivot")
@@ -210,7 +246,7 @@ def incremental_near_pairs(
     sig_new = compute_signatures(
         delta_docs, cfg, include_shingles=False, hash_kind=hash_kind
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig_new.count()
+    n_delta = sig_new.count()
 
     # new x new: the standard capped generators over the delta alone.
     # The pigeonhole layout follows the DELTA's size (both sides of this
@@ -222,7 +258,7 @@ def incremental_near_pairs(
     nn_lsh = lsh_candidate_pairs(sig_new, cfg)
     nn_ham = simhash_hamming_pairs(
         sig_new.select("doc_id", "simhash"), cfg, max_bucket=cfg.max_bucket,
-        n_chunks=pick_simhash_layout(sig_new.count(), cfg),
+        n_chunks=pick_simhash_layout(n_delta, cfg),
     )
 
     # new x old: delta buckets joined against the old band/chunk tables
@@ -236,11 +272,20 @@ def incremental_near_pairs(
         if existing_chunks is not None
         else _chunk_rows(sig_old, cfg)
     )
+    # upper bounds on the delta's distinct bucket keys (rows x keys-per-
+    # row) gate the broadcast hints — the chunk index layout is pinned by
+    # cfg (it must match the materialized old index), never delta-sized
+    n_chunk_keys = n_delta * (
+        cfg.simhash_n_chunks
+        if cfg.simhash_n_chunks is not None
+        else cfg.simhash_hamming_max + 1
+    )
     no_lsh = _delta_cross_candidates(
         explode_bands(sig_new, cfg),
         old_bands,
         ["band_id", "band_hash"],
         old_fanin_cap,
+        approx_delta_keys=n_delta * cfg.bands,
     )
     no_ham = _delta_cross_candidates(
         _chunk_rows(sig_new, cfg),
@@ -248,6 +293,7 @@ def incremental_near_pairs(
         ["chunk_id", "val"],
         old_fanin_cap,
         hamming_max=cfg.simhash_hamming_max,
+        approx_delta_keys=n_chunk_keys,
     )
 
     cands = (

@@ -46,7 +46,9 @@ def pack_sequences(
 
     ``tokens_col`` names a precomputed token-count column (e.g. from a
     real tokenizer); default derives whitespace/alnum token counts from
-    ``text_col``.  All arithmetic is int64 (gate-exact vs SQL oracle).
+    ``text_col``.  All arithmetic is int64 — ``seq`` uses integer
+    division (``div``), exact at ANY prefix-sum magnitude, not just
+    below 2^53 as a double division would be.
     """
     tokens: Column = (
         F.col(tokens_col)
@@ -63,11 +65,17 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return base.select(
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    # name the prefix sum so ``div`` (Spark's integral division) can
+    # apply to it — (offset / max).cast('long') would route through a
+    # double, inexact for prefix sums >= 2^53
+    staged = base.select(id_col, "n_tokens", "shard", offset.alias("_off"))
+    return staged.select(
         id_col,
         "n_tokens",
         "shard",
-        (offset / F.lit(max_tokens)).cast("long").alias("seq"),
-        (offset % F.lit(max_tokens)).cast("long").alias("offset_in_seq"),
+        F.expr(f"_off div {int(max_tokens)}").alias("seq"),
+        F.pmod(F.col("_off"), F.lit(int(max_tokens))).cast("long").alias(
+            "offset_in_seq"
+        ),
     )

@@ -69,20 +69,38 @@ def cap_per_host(
     with binomial noise, membership a pure function of (id, counts), so
     the result is reproducible and SQL-replayable exactly.  Under-cap
     hosts pass wholesale without any per-row coin.  Adds ``host_count``
-    (pre-cap) for audit."""
+    (pre-cap) for audit.
+
+    Coin resolution: the threshold uses the FULL 2^32 hash range
+    (``h < floor(cap * 2^32 / host_count)``), so the smallest
+    representable keep-fraction is 2^-32 ≈ 2.3e-10, and the threshold
+    is clamped to >= 1 so a host hotter than ``cap * 2^32`` rows keeps
+    rows at that minimum fraction instead of being silently dropped to
+    ZERO (the failure mode of a 1e-6-resolution coin at
+    ``host_count > cap * 1e6``).  ``cap * 2^32`` and the division stay
+    exact in doubles for any ``max_per_host < 2^21`` (product < 2^53),
+    which keeps the floor bit-identical in DuckDB."""
     counts = docs.groupBy(host_col).agg(
         F.count(F.lit(1)).alias("host_count")
     )
     h = sample_hash_col(F.col(id_col))
-    keep_micro = F.floor(
-        F.lit(float(max_per_host * MICRO)) / F.col("host_count").cast("double")
-    ).cast("long")
     return (
         docs.join(counts, host_col)
         .where(
             (F.col("host_count") <= max_per_host)
-            | (F.pmod(h, F.lit(MICRO)) < keep_micro)
+            | (h < _host_keep_threshold(max_per_host, F.col("host_count")))
         )
+    )
+
+
+def _host_keep_threshold(max_per_host: int, host_count: Column) -> Column:
+    """2^32-range keep threshold, clamped to >= 1 (see cap_per_host)."""
+    return F.greatest(
+        F.floor(
+            F.lit(float(max_per_host) * 4_294_967_296.0)
+            / host_count.cast("double")
+        ).cast("long"),
+        F.lit(1).cast("long"),
     )
 
 

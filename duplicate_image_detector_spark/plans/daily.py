@@ -18,16 +18,27 @@ loop, with durable per-day checkpoints and crash resume:
       substr_fps  content-defined fingerprints — the substring tier's store
       pairs       all three evidence tiers, delta-touching only:
                     exact:     within-delta stars UNION delta keys joined
-                               against ONE pivot row per distinct old key
-                               (min old doc_id) — O(1) old rows per key,
-                               connectivity-exact with no cap or recall
-                               loss: old members of the key already connect
-                               to that pivot in the old clustering
+                               against ONE pivot row per distinct TOUCHED
+                               old key (the old key store is broadcast-
+                               semi-filtered to the delta's keys BEFORE
+                               the min-doc_id pivot aggregate, so the
+                               per-day cost is O(delta-touched keys), not
+                               an O(corpus) groupBy) — connectivity-exact
+                               with no cap or recall loss: old members of
+                               the key already connect to that pivot in
+                               the old clustering
                     near:      incremental_near_pairs(existing_sig=store)
                                (LSH + SimHash arms, capped cross join)
                     substring: delta fingerprints self-join UNION
                                delta-vs-store fp equi-join (old-side
-                               pivot-capped like the near tier), anchored
+                               pivot-capped for the same cost bound as the
+                               near tier — but NOT the same recall
+                               guarantee: fp-bucket members share one
+                               64-char gram, not a whole band, so they are
+                               not guaranteed connected in the old
+                               clustering and an over-cap fp bucket can
+                               lose true >=400-char span pairs; exact/band
+                               pivots have no such loss), anchored
                                span verify — one kernel with the batch path
       clusters    incremental_update_clusters: touched components only
       store       ClusterStore.init (first day) / apply_update (soft-delete
@@ -72,6 +83,7 @@ from duplicate_image_detector_spark.operators.exact import (
 from duplicate_image_detector_spark.operators.incremental_pairs import (
     _chunk_rows,
     _delta_cross_candidates,
+    _semi_filter_to_delta,
     incremental_near_pairs,
     incremental_update_clusters,
 )
@@ -96,6 +108,43 @@ _STATE_STAGES = (
 )
 
 
+def exact_cross_pairs(
+    exact_keys: DataFrame,
+    old_keys: DataFrame,
+    approx_delta_keys: int | None = None,
+) -> DataFrame:
+    """Delta exact-hash keys joined against ONE pivot row per distinct
+    old key (min old doc_id) -> (id_a, id_b, score, tier) exact-tier
+    cross edges.
+
+    The old key store is SEMI-FILTERED to the delta's key set before
+    the pivot groupBy (broadcast filter when ``approx_delta_keys`` is
+    within ``BROADCAST_KEY_LIMIT`` — the same treatment
+    ``_delta_cross_candidates`` gives the band/chunk indexes), so the
+    pivot aggregate runs over O(|delta-touched keys|) rows instead of
+    shuffling the FULL corpus key store every day.  Semantics are
+    identical: a pivot for a key the delta does not touch produces no
+    join rows.  Connectivity-exact with no cap or recall loss — old
+    members of a key already connect to its min-id pivot in the old
+    clustering (see module doc)."""
+    touched = _semi_filter_to_delta(
+        old_keys, exact_keys, ["text_sha256"], approx_delta_keys
+    )
+    pivots = touched.groupBy("text_sha256").agg(
+        F.min("doc_id").alias("_old")
+    )
+    return (
+        exact_keys.join(pivots, "text_sha256")
+        .select(
+            F.least("doc_id", "_old").alias("id_a"),
+            F.greatest("doc_id", "_old").alias("id_b"),
+            F.lit(1.0).alias("score"),
+            F.lit("exact").alias("tier"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+
+
 @dataclass
 class DailyDedup:
     """Durable daily-dedup state rooted at ``state_dir``.
@@ -111,6 +160,24 @@ class DailyDedup:
     cfg: PipelineConfig = field(default_factory=PipelineConfig)
     hash_kind: str = "poly"
     enable_substring: bool = True
+    #: fold per-day state dirs into one consolidated store once more
+    #: than this many uncompacted days have accrued — without it every
+    #: ``_state`` reader plans one parquet input PER COMMITTED DAY
+    #: (10^3 inputs after 3 years); with it the planner sees at most
+    #: ``compact_threshold + 1`` inputs regardless of corpus age.
+    compact_threshold: int = 16
+
+    def __post_init__(self) -> None:
+        # the loop derives doc_id as xxhash64(url) and keeps bigint key
+        # stores; running it under a 128-bit config would silently apply
+        # 64-bit collision math while checkpoint config-hashes claimed
+        # 128-bit semantics (run_pipeline supports id_bits=128; the daily
+        # loop does not yet)
+        if getattr(self.cfg, "id_bits", 64) != 64:
+            raise ValueError(
+                "DailyDedup supports id_bits=64 only; use run_pipeline "
+                "for 128-bit ids"
+            )
 
     # -- manifest --------------------------------------------------------
 
@@ -217,12 +284,19 @@ class DailyDedup:
             if self.enable_substring
             else None
         )
+        # delta sizes gate the cross arms' broadcast hints (parquet-
+        # metadata counts over checkpointed delta-sized stages — O(Δ))
+        n_delta = docs.count()
+        n_delta_fps = substr_fps.count() if substr_fps is not None else 0
 
         def _pairs() -> DataFrame:
             from pyspark.storagelevel import StorageLevel
 
             # exact tier: within-delta stars + delta keys vs per-key old
-            # pivots (exactly one old row per distinct key — see module doc)
+            # pivots (exactly one old row per distinct TOUCHED key — the
+            # old store is semi-filtered to the delta's keys before the
+            # pivot aggregate, so no corpus-wide shuffle; see
+            # exact_cross_pairs)
             parts = [
                 exact_pair_edges(exact_clusters(docs, cfg)).select(
                     "id_a", "id_b",
@@ -230,16 +304,11 @@ class DailyDedup:
                 )
             ]
             if old_keys is not None:
-                pivots = old_keys.groupBy("text_sha256").agg(
-                    F.min("doc_id").alias("_old")
+                parts.append(
+                    exact_cross_pairs(
+                        exact_keys, old_keys, approx_delta_keys=n_delta
+                    )
                 )
-                cross = exact_keys.join(pivots, "text_sha256").select(
-                    F.least("doc_id", "_old").alias("id_a"),
-                    F.greatest("doc_id", "_old").alias("id_b"),
-                    F.lit(1.0).alias("score"),
-                    F.lit("exact").alias("tier"),
-                ).where(F.col("id_a") != F.col("id_b"))
-                parts.append(cross)
 
             # near tier: the gated incremental operator, on the
             # PRECOMPUTED signature store (the production fast path)
@@ -268,7 +337,8 @@ class DailyDedup:
                 if old_fps is not None:
                     cands = cands.unionByName(
                         _delta_cross_candidates(
-                            substr_fps, old_fps, ["fp"], cfg.max_bucket
+                            substr_fps, old_fps, ["fp"], cfg.max_bucket,
+                            approx_delta_keys=n_delta_fps,
                         )
                     )
                 corpus = (
@@ -341,7 +411,7 @@ class DailyDedup:
         self._append_day(day)
         return {
             "day": day,
-            "n_delta_docs": docs.count(),
+            "n_delta_docs": n_delta,
             "n_new_pairs": pairs.count(),
             "n_clustered_docs": clusters.count(),
             "store_version": version,

@@ -114,3 +114,37 @@ def test_daily_loop_end_to_end(spark, tiny_corpus, cfg, tmp_path, monkeypatch):
     for d in day_pages:
         d.unpersist()
     pages.unpersist()
+
+
+def test_exact_cross_pairs_semi_filters_old_keys(spark):
+    """The exact tier's pivot aggregate must run over delta-TOUCHED old
+    keys only (a LeftSemi join feeds the groupBy) — without it the loop
+    shuffles the FULL corpus key store every day — and semantics must
+    equal the unfiltered-pivot formulation."""
+    from duplicate_image_detector_spark.plans.daily import exact_cross_pairs
+
+    old_keys = spark.createDataFrame(
+        [(1, "k1"), (2, "k1"), (3, "k2"), (4, "k3"), (5, "k3"), (6, "k3")],
+        "doc_id long, text_sha256 string",
+    )
+    exact_keys = spark.createDataFrame(
+        [(100, "k1"), (101, "k2"), (102, "k9")],
+        "doc_id long, text_sha256 string",
+    )
+    out = exact_cross_pairs(exact_keys, old_keys, approx_delta_keys=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    got = {(r["id_a"], r["id_b"], r["score"], r["tier"]) for r in out.collect()}
+    assert got == {(1, 100, 1.0, "exact"), (3, 101, 1.0, "exact")}
+    # the semi-filter must sit BELOW the pivot aggregate (filter-then-
+    # aggregate, not aggregate-then-filter): the Aggregate's child
+    # subtree contains the LeftSemi join
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.index("Aggregate") < analyzed.index("LeftSemi"), analyzed
+
+
+def test_daily_rejects_id128(spark, tmp_path, cfg):
+    from dataclasses import replace
+
+    with pytest.raises(ValueError, match="id_bits=64"):
+        DailyDedup(spark, str(tmp_path / "s"), replace(cfg, id_bits=128))

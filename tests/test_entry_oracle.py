@@ -25,6 +25,10 @@ TABLES = [
 
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
+# gates retired from the driver registry (50-row report budget) stay
+# value-checked here with the same machinery
+ORACLES.update(entrymod.retired_oracle_sql())
+QUERIES.update(entrymod.retired_queries())
 
 
 def _duck(sql: str) -> pd.DataFrame:
@@ -76,6 +80,14 @@ def test_all_queries_have_oracle_or_reason():
     # every gate is value-checked — the ANN gates emit a one-row recall
     # summary precisely so no query is left on the weaker rows-only check
     assert set(QUERIES) - set(ORACLES) == set()
+
+
+def test_registry_within_driver_budget():
+    # the driver reports at most 50 gates; a 51st registry entry is
+    # silently dropped from CORRECTNESS_r{N}.json (observed in round 5:
+    # windowed_event_counts, the last entry, went unreported)
+    assert len(entrymod.queries()) <= 50
+    assert "windowed_event_counts" in entrymod.queries()
 
 
 def test_entry_smoke(spark):

@@ -255,6 +255,50 @@ def test_old_fanin_cap_pivot_bounds_and_connectivity(spark, cfg):
     inc.unpersist()
 
 
+def test_broadcast_size_gate_output_identity(spark, tiny_corpus, cfg, monkeypatch):
+    """Above BROADCAST_KEY_LIMIT the delta-key semi-filter drops the
+    broadcast hint (a hint Spark honors REGARDLESS of size — an
+    un-gated 10^9-doc delta would OOM the driver building a ~17e9-row
+    broadcast table).  The hint changes strategy only: forcing the
+    non-broadcast branch must yield bit-identical pairs."""
+    import duplicate_image_detector_spark.operators.incremental_pairs as ip
+
+    docs = _docs_df(spark, tiny_corpus).persist()
+    docs.count()
+    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    old, delta = docs.where(~is_new), docs.where(is_new)
+
+    a = incremental_near_pairs(old, delta, cfg)
+    monkeypatch.setattr(ip, "BROADCAST_KEY_LIMIT", 0)
+    b = incremental_near_pairs(old, delta, cfg)
+    got, want = _pairset(b), _pairset(a)
+    assert want, "fixture must yield pairs (non-vacuous)"
+    assert got == want
+    a.unpersist()
+    b.unpersist()
+    docs.unpersist()
+
+
+def test_semi_filter_broadcast_hint_gated_by_size(spark):
+    from duplicate_image_detector_spark.operators.incremental_pairs import (
+        BROADCAST_KEY_LIMIT,
+        _semi_filter_to_delta,
+    )
+
+    old = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("doc_id"))
+    delta = spark.range(10).select(F.col("id").alias("k"))
+    small = _semi_filter_to_delta(old, delta, ["k"], approx_delta_keys=10)
+    big = _semi_filter_to_delta(
+        old, delta, ["k"], approx_delta_keys=BROADCAST_KEY_LIMIT + 1
+    )
+    unknown = _semi_filter_to_delta(old, delta, ["k"], approx_delta_keys=None)
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in unknown._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+    # identical rows either way
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
 def test_incremental_wide_delta_layout_output_identical(spark, tiny_corpus):
     # force the size-aware picker to choose the wide combination layout
     # for the within-delta Hamming arm (simhash_wide_docs=0): the output

@@ -127,6 +127,46 @@ def test_pack_sequences_sharding_and_determinism(spark):
             run += n_tokens
 
 
+def test_pack_sequences_integer_exact_beyond_2_53(spark):
+    # seq uses integral `div`, not a double division: at a prefix sum of
+    # 2^53 + 3 the double rounds to 2^53 + 4, so (off/2) would read
+    # 2^52 + 2 while the exact answer is 2^52 + 1
+    big = (1 << 53) + 3
+    docs = spark.createDataFrame(
+        [(0, big), (1, 5)], "doc_id long, n long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            docs, max_tokens=2, n_shards=1, tokens_col="n"
+        ).collect()
+    }
+    assert got[1]["seq"] == (1 << 52) + 1
+    assert got[1]["offset_in_seq"] == 1
+
+
+def test_host_keep_threshold_clamps_to_one(spark):
+    # floor(cap*2^32 / host_count) rounds to 0 for an ultra-hot host
+    # (host_count > cap*2^32) — the clamp keeps the minimum representable
+    # fraction instead of silently dropping EVERY row of that host
+    from duplicate_image_detector_spark.operators.sampling import (
+        _host_keep_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [(10 * (1 << 32) + 1,), (10 * (1 << 32),), (100,)], "host_count long"
+    )
+    got = [
+        r["t"]
+        for r in df.select(
+            _host_keep_threshold(10, F.col("host_count")).alias("t")
+        ).collect()
+    ]
+    assert got[0] == 1          # clamped (would floor to 0)
+    assert got[1] == 1          # exactly representable boundary
+    assert got[2] == (10 * (1 << 32)) // 100
+
+
 # ---------------------------------------------------------------------------
 # stratified sampling
 # ---------------------------------------------------------------------------

@@ -27,6 +27,10 @@ CASES = [
     # opaque keys and non-URLs pass through unchanged
     ("doc://12345", "doc://12345"),
     ("not a url", "not a url"),
+    # a '?' INSIDE the fragment is fragment text, not a query (RFC 3986:
+    # the query ends at the first '#') — must not be promoted to params
+    ("http://a.com/p#frag?x=1", "http://a.com/p"),
+    ("http://a.com/p?a=1#f?b=2", "http://a.com/p?a=1"),
 ]
 
 
