@@ -338,6 +338,28 @@ def incremental_near_pairs(
     return out
 
 
+def touched_member_ids(
+    old_clusters: DataFrame, new_pairs: DataFrame
+) -> DataFrame:
+    """(doc_id) for every doc whose cluster assignment CAN change when
+    ``new_pairs`` merge into ``old_clusters``: the pair endpoints plus
+    every member of an old cluster containing an endpoint — exactly the
+    subgraph ``incremental_update_clusters`` re-labels.  The daily loop
+    passes this (∪ its delta ids) to ``ClusterStore.apply_update`` as
+    ``changed_ids`` so the store refresh rewrites only touched buckets
+    without a corpus-wide diff."""
+    ends = (
+        new_pairs.select(F.col("id_a").alias("doc_id"))
+        .union(new_pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    touched = (
+        old_clusters.join(ends, "doc_id").select("cluster_id").distinct()
+    )
+    members = old_clusters.join(touched, "cluster_id").select("doc_id")
+    return members.unionByName(ends).distinct()
+
+
 def incremental_update_clusters(
     old_clusters: DataFrame,
     new_pairs: DataFrame,

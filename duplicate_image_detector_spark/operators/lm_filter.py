@@ -55,7 +55,10 @@ def _bigram_rows(docs: DataFrame, id_cols: list[str], text_col: str) -> DataFram
 
 
 def train_bigram_lm(
-    reference: DataFrame, text_col: str = "text", hash_keys: bool = False
+    reference: DataFrame,
+    text_col: str = "text",
+    hash_keys: bool = False,
+    c1_mode: str = "window",
 ) -> DataFrame:
     """reference(..., text) -> model(w1, w2, c12, c1), or with
     ``hash_keys=True`` -> model(kb, k1, c12, c1) where ``kb`` =
@@ -72,26 +75,46 @@ def train_bigram_lm(
     ``c12`` = corpus count of the bigram, ``c1`` = count of ``w1`` as a
     bigram left-word (so MLE p(w2|w1) = c12/c1 sums to 1 per w1).
 
-    ``c1`` is a window sum over the aggregated model rows rather than a
-    separate groupBy + join: the obvious ``c12.join(c12.groupBy(...))``
-    evaluates the c12 subtree TWICE (Catalyst does not dedupe common
-    subplans), i.e. two full shuffles of the raw bigram stream.  The
-    window form shuffles the bigram stream once (the partial-agg
-    groupBy) and then repartitions only model-sized rows by ``w1``.
+    ``c1_mode`` selects how ``c1`` is derived from the aggregated model
+    rows (outputs identical, pytest-pinned):
+
+    * ``"window"`` (default): a window sum partitioned by the left word
+      — one shuffle of the raw bigram stream (the partial-agg groupBy)
+      plus a MODEL-sized repartition.  The naive
+      ``c12.join(c12.groupBy(...))`` would instead evaluate the c12
+      subtree TWICE (Catalyst does not dedupe common subplans), i.e.
+      two full shuffles of the raw bigram stream.  Bound: every model
+      row of one left word passes through a single window task, so the
+      hottest word's distinct-bigram fan-out must fit a task (~10^8
+      rows — comfortably true even for "the" at crawl scale, but it IS
+      a per-key ceiling).
+    * ``"two_phase"``: the aggregated c12 rows are PERSISTED (breaking
+      the double-evaluation trap at the cost of caching one model
+      copy), then ``c1`` is a separate model-sized groupBy joined back.
+      No single-task fan-in bound — the crossover is a vocabulary whose
+      hottest left word exceeds task memory in model rows.  The caller
+      may unpersist the returned plan's cache after materializing.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    if c1_mode not in ("window", "two_phase"):
+        raise ValueError(f"c1_mode must be 'window' or 'two_phase': {c1_mode!r}")
     bg = _bigram_rows(reference.where(F.col(text_col).isNotNull()), [], text_col)
+    pair_cols, w1_col = (
+        (["kb", "k1"], "k1") if hash_keys else (["w1", "w2"], "w1")
+    )
     if hash_keys:
-        keyed = bg.select(
+        bg = bg.select(
             F.xxhash64("w1", "w2").alias("kb"), F.xxhash64("w1").alias("k1")
         )
-        c12 = keyed.groupBy("kb", "k1").agg(F.count(F.lit(1)).alias("c12"))
-        w = Window.partitionBy("k1")
-        return c12.select("kb", "k1", "c12", F.sum("c12").over(w).alias("c1"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    w = Window.partitionBy("w1")
-    return c12.select(
-        "w1", "w2", "c12", F.sum("c12").over(w).alias("c1")
-    )
+    c12 = bg.groupBy(*pair_cols).agg(F.count(F.lit(1)).alias("c12"))
+    if c1_mode == "two_phase":
+        c12 = c12.persist(StorageLevel.MEMORY_AND_DISK)
+        c12.count()
+        c1 = c12.groupBy(w1_col).agg(F.sum("c12").alias("c1"))
+        return c12.join(c1, w1_col).select(*pair_cols, "c12", "c1")
+    w = Window.partitionBy(w1_col)
+    return c12.select(*pair_cols, "c12", F.sum("c12").over(w).alias("c1"))
 
 
 def p_micro_col(c12: Column, c1: Column) -> Column:

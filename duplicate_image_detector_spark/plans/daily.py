@@ -86,6 +86,7 @@ from duplicate_image_detector_spark.operators.incremental_pairs import (
     _semi_filter_to_delta,
     incremental_near_pairs,
     incremental_update_clusters,
+    touched_member_ids,
 )
 from duplicate_image_detector_spark.operators.lsh import explode_bands
 from duplicate_image_detector_spark.operators.signatures import (
@@ -181,20 +182,26 @@ class DailyDedup:
 
     # -- manifest --------------------------------------------------------
 
-    def days(self) -> list[str]:
+    def _manifest(self) -> dict:
         p = os.path.join(self.state_dir, _MANIFEST)
         if not os.path.exists(p):
-            return []
+            return {"days": []}
         with open(p) as fh:
-            return json.load(fh)["days"]
+            return json.load(fh)
 
-    def _append_day(self, day: str) -> None:
-        days = self.days()
-        days.append(day)
+    def _write_manifest(self, manifest: dict) -> None:
         tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
         with open(tmp, "w") as fh:
-            json.dump({"days": days}, fh)
+            json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.state_dir, _MANIFEST))
+
+    def days(self) -> list[str]:
+        return self._manifest()["days"]
+
+    def _append_day(self, day: str) -> None:
+        manifest = self._manifest()
+        manifest["days"] = manifest["days"] + [day]
+        self._write_manifest(manifest)
 
     # -- corpus-state readers (union over committed days) ----------------
 
@@ -213,19 +220,86 @@ class DailyDedup:
             ),
         )
 
+    def _state_paths(self, stage: str) -> list[str]:
+        """The parquet inputs holding one durable stage: the latest
+        compacted fold (if any) plus the per-day dirs committed after
+        it.  Paths that were never written are skipped (a stage can be
+        disabled, e.g. ``substr_fps`` with ``enable_substring=False``)."""
+        assert stage in _STATE_STAGES, stage
+        manifest = self._manifest()
+        compact = manifest.get("compact")
+        start = compact["through"] if compact else 0
+        paths = []
+        if compact:
+            paths.append(
+                os.path.join(
+                    self.state_dir, "compact",
+                    f"v{compact['version']:04d}", stage,
+                )
+            )
+        paths.extend(
+            self._ckpt(day).stage_path(stage)
+            for day in manifest["days"][start:]
+        )
+        return [p for p in paths if os.path.exists(p)]
+
     def _state(self, stage: str) -> DataFrame | None:
-        """Union of one durable stage across all committed days — the
+        """Union of one durable stage across the committed corpus — the
         corpus-side store the delta joins against.  Parquet column
         pruning keeps narrow reads narrow (e.g. the anti-join reads only
         ``doc_id``)."""
-        assert stage in _STATE_STAGES, stage
-        paths = [
-            self._ckpt(day).stage_path(stage)
-            for day in self.days()
-        ]
+        paths = self._state_paths(stage)
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def compact_state(self) -> dict | None:
+        """Fold all committed days' stage stores into ONE consolidated
+        parquet dir per stage when more than ``compact_threshold``
+        uncompacted day-dirs have accrued; returns the fold record, or
+        None when below threshold.
+
+        Why: ``_state`` unions one parquet dir per committed day — after
+        10^3 days every corpus-side join plans 10^3 inputs and the
+        planner's file listing dominates.  After a fold the planner sees
+        one consolidated input plus at most ``compact_threshold`` recent
+        day-dirs, regardless of corpus age.
+
+        Cost/amortization: a fold rewrites the corpus state once — the
+        index tables (signatures, band/chunk rows, keys, fps) are
+        narrow; ``docs`` carries text and dominates.  Amortized over the
+        ``compact_threshold`` days between folds this is O(corpus /
+        threshold) per day of pure sequential parquet I/O with no
+        shuffle (coalesce-free append union).  Production variants
+        (tiered/geometric folds, or Iceberg table compaction) reduce it
+        further; this is the single-tier fold.
+
+        Crash-safe: the consolidated dirs are fully written under a NEW
+        version path before the manifest pointer flips (same
+        write-then-swap discipline as the day commit); a crash mid-fold
+        leaves an orphan dir the next fold overwrites."""
+        manifest = self._manifest()
+        compact = manifest.get("compact")
+        n_tail = len(manifest["days"]) - (compact["through"] if compact else 0)
+        if n_tail <= self.compact_threshold:
+            return None
+        new_version = (compact["version"] + 1) if compact else 0
+        out_root = os.path.join(
+            self.state_dir, "compact", f"v{new_version:04d}"
+        )
+        for stage in _STATE_STAGES:
+            df = self._state(stage)
+            if df is not None:
+                df.write.mode("overwrite").parquet(
+                    os.path.join(out_root, stage)
+                )
+        manifest["compact"] = {
+            "through": len(manifest["days"]),
+            "version": new_version,
+            "folded_days": list(manifest["days"]),
+        }
+        self._write_manifest(manifest)
+        return dict(manifest["compact"])
 
     @property
     def store(self) -> ClusterStore:
@@ -240,6 +314,9 @@ class DailyDedup:
         if day in self.days():
             return {"day": day, "skipped": True}
         os.makedirs(self.state_dir, exist_ok=True)
+        # fold old day-dirs first so this day's state reads plan at most
+        # compact_threshold + 1 inputs (idempotent; no-op below threshold)
+        self.compact_state()
         ckpt = self._ckpt(day)
         cfg, hash_kind = self.cfg, self.hash_kind
         old_docs = self._state("docs")
@@ -405,7 +482,16 @@ class DailyDedup:
             ),
         )
         if self.days():
-            version = self.store.apply_update(snapshot)
+            # changed_ids = delta ∪ touched-component members: the store
+            # rewrites only the buckets containing them, never the whole
+            # corpus snapshot (and skips its full-outer diff fallback)
+            changed = touched_member_ids(
+                self.store.read(include_deleted=True).select(
+                    "doc_id", "cluster_id"
+                ),
+                pairs.select("id_a", "id_b"),
+            ).unionByName(docs.select("doc_id")).distinct()
+            version = self.store.apply_update(snapshot, changed_ids=changed)
         else:
             version = self.store.init(snapshot)
         self._append_day(day)

@@ -36,35 +36,121 @@ MIN_GROUP_SIZE = 2  # ref duplicate-detector.py:99
 _LATEST = "_LATEST"
 
 
-class ClusterStore:
-    """Versioned clusters table rooted at ``path``.
+def _bucket_dirs(vdir: str) -> list[int]:
+    """Bucket ids actually written under a version dir (a bucket with no
+    rows gets no leaf dir and therefore no manifest pointer)."""
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(vdir)
+        if name.startswith("bucket=")
+    )
 
-    Layout: ``{path}/v{NNNN}/`` snapshot parquet dirs, ``{path}/_LATEST``
-    JSON pointer, ``{path}/_deletion_log/`` append-only audit parquet.
+
+class ClusterStore:
+    """Versioned clusters table rooted at ``path``, hash-bucketed by
+    ``doc_id`` so refreshes rewrite only TOUCHED buckets.
+
+    Layout: ``{path}/v{NNNN}/bucket={B}/`` snapshot parquet leaf dirs,
+    ``{path}/_LATEST`` a JSON manifest mapping each bucket to the
+    version that owns its current data (the Iceberg-manifest idea in
+    one file), ``{path}/_deletion_log/`` append-only audit parquet.
+
+    Why buckets: the daily loop's refresh changes O(|touched
+    components|) rows out of a 10^12-row corpus — a monolithic snapshot
+    would rewrite the WORLD every day.  Here a commit writes only the
+    buckets containing changed rows; unchanged buckets carry forward by
+    manifest pointer to the version dir that last wrote them (those
+    files are immutable, so readers of any pinned version are never
+    disturbed).  In production this maps 1:1 onto an Iceberg ``MERGE
+    INTO`` whose snapshot manifests do the same pointer bookkeeping at
+    file granularity.
+
+    ``n_buckets`` is fixed at ``init`` and recorded in the manifest
+    (bucket routing must be stable across the store's life); at 10^12
+    docs you run 10^4-10^5 buckets so a touched bucket is ~10^7-10^8
+    rows — the write unit, not the corpus.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
         self.spark = spark
         self.path = path
+        self._n_buckets_default = int(n_buckets)
 
     # -- snapshot bookkeeping ------------------------------------------------
 
-    def _latest_version(self) -> int:
+    def _meta(self) -> dict | None:
         p = os.path.join(self.path, _LATEST)
         if not os.path.exists(p):
-            return -1
+            return None
         with open(p) as fh:
-            return int(json.load(fh)["version"])
+            return json.load(fh)
+
+    def _latest_version(self) -> int:
+        meta = self._meta()
+        return -1 if meta is None else int(meta["version"])
 
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, f"v{v:04d}")
 
-    def _commit(self, df: DataFrame) -> int:
-        v = self._latest_version() + 1
-        df.write.mode("overwrite").parquet(self._version_dir(v))
+    def _bucket_col(self, n_buckets: int):
+        return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets))
+
+    def _commit(
+        self, df: DataFrame, touched_buckets: list[int] | None = None
+    ) -> int:
+        """Write a new snapshot version.  ``touched_buckets=None`` is a
+        full rewrite (init / legacy path); a list writes ONLY those
+        buckets' rows from ``df`` — every other bucket keeps its
+        existing manifest pointer.  The manifest swap (os.replace) is
+        the commit point; a crash mid-write leaves an unreferenced
+        version dir, never a torn snapshot."""
+        meta = self._meta()
+        n = (
+            int(meta["n_buckets"])
+            if meta and "n_buckets" in meta
+            else self._n_buckets_default
+        )
+        v = (int(meta["version"]) if meta else -1) + 1
+        vdir = self._version_dir(v)
+        data = df.withColumn("bucket", self._bucket_col(n))
+        if touched_buckets is not None:
+            touched = sorted({int(b) for b in touched_buckets})
+            if touched:
+                data = data.where(
+                    F.col("bucket").isin([int(b) for b in touched])
+                )
+                data.write.mode("overwrite").partitionBy("bucket").parquet(
+                    vdir
+                )
+            written = _bucket_dirs(vdir)
+            pointers = {
+                b: ver
+                for b, ver in (meta.get("buckets") or {}).items()
+                if int(b) not in set(touched)
+            }
+            pointers.update({str(b): v for b in written})
+        else:
+            data.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+            pointers = {str(b): v for b in _bucket_dirs(vdir)}
+        if not pointers:
+            # an EMPTY snapshot (e.g. day one with no duplicate clusters
+            # yet) writes no bucket leaf dirs — keep a schema-bearing
+            # empty parquet in the version dir so read() still returns a
+            # typed zero-row DataFrame
+            df.limit(0).write.mode("overwrite").parquet(vdir)
         tmp = os.path.join(self.path, _LATEST + ".tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": v, "ts": time.time()}, fh)
+            json.dump(
+                {
+                    "version": v,
+                    "ts": time.time(),
+                    "n_buckets": n,
+                    "buckets": pointers,
+                },
+                fh,
+            )
         os.replace(tmp, os.path.join(self.path, _LATEST))  # atomic pointer swap
         return v
 
@@ -76,11 +162,16 @@ class ClusterStore:
         os.makedirs(self.path, exist_ok=True)
         return self._commit(clusters.withColumn("status", F.lit("active")))
 
-    def apply_update(self, clusters: DataFrame) -> int:
+    def apply_update(
+        self,
+        clusters: DataFrame,
+        changed_ids: DataFrame | None = None,
+    ) -> int:
         """Commit an UPDATED cluster assignment (e.g. the output of the
         incremental daily-crawl maintenance,
         ``operators/incremental_pairs.incremental_update_clusters``,
-        re-assembled to the store shape) as a new snapshot version.
+        re-assembled to the store shape) as a new snapshot version —
+        rewriting ONLY the buckets whose rows changed.
 
         Soft-delete status carries forward by doc_id from the union of
         the latest snapshot AND the ``_deletion_log`` ledger: a
@@ -93,20 +184,28 @@ class ClusterStore:
         disturbed (same immutable-snapshot contract as ``init``).  The
         input must NOT carry a ``status`` column — status is the store's
         ledger, not the pipeline's.
+
+        ``changed_ids``: optional (doc_id) superset of every row that
+        differs from the latest snapshot (including docs ADDED to or
+        DROPPED from the corpus).  When given, touched buckets come
+        straight from it — the daily loop passes its delta ∪ touched-
+        component members, so the refresh never scans, joins, or
+        rewrites the unchanged part of the corpus.  When None, the
+        store derives the changed set itself with one null-safe
+        full-outer diff against the latest snapshot (bucket-aligned on
+        both sides; bounded by the corpus, so prefer ``changed_ids`` at
+        scale — the diff is the fallback, not the fast path).
         """
         if "status" in clusters.columns:
             raise ValueError(
                 "apply_update input must not carry 'status' — the store "
                 "owns deletion state and carries it forward by doc_id"
             )
+        old = self.read(include_deleted=True)
         # docs ever deleted: latest snapshot's deleted rows UNION the audit
         # log (covers docs that skipped a snapshot; the snapshot side covers
         # a crash between commit and audit append, where the log undercounts)
-        snap_deleted = (
-            self.read(include_deleted=True)
-            .where(F.col("status") == "deleted")
-            .select("doc_id")
-        )
+        snap_deleted = old.where(F.col("status") == "deleted").select("doc_id")
         log_dir = os.path.join(self.path, "_deletion_log")
         if os.path.isdir(log_dir):
             ever_deleted = snap_deleted.union(
@@ -125,13 +224,67 @@ class ClusterStore:
             )
             .drop("_dead")
         )
-        return self._commit(out)
+        if changed_ids is not None:
+            changed = changed_ids.select("doc_id")
+        else:
+            changed = self._diff_ids(out, old)
+        return self._commit(out, touched_buckets=self._touched_buckets(changed))
+
+    def _touched_buckets(self, ids: DataFrame) -> list[int] | None:
+        """Distinct buckets of the given doc_ids (driver-bounded by
+        n_buckets); None on a legacy monolithic store (full rewrite)."""
+        meta = self._meta()
+        if not meta or "buckets" not in meta:
+            return None
+        n = int(meta["n_buckets"])
+        return [
+            int(r["b"])
+            for r in ids.select(self._bucket_col(n).alias("b"))
+            .distinct()
+            .collect()
+        ]
+
+    def _diff_ids(self, new: DataFrame, old: DataFrame) -> DataFrame:
+        """doc_ids whose row differs between ``new`` and ``old`` in any
+        column, including rows present on only one side (null-safe
+        comparison; presence markers catch add/drop)."""
+        cols = [c for c in new.columns if c != "doc_id"]
+        old_r = old.select(
+            "doc_id",
+            F.lit(True).alias("_old_present"),
+            *[F.col(c).alias(f"_old_{c}") for c in cols],
+        )
+        new_r = new.select(
+            "doc_id", F.lit(True).alias("_new_present"), *cols
+        )
+        j = new_r.join(old_r, "doc_id", "full")
+        cond = F.col("_new_present").isNull() | F.col("_old_present").isNull()
+        for c in cols:
+            cond = cond | ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+        return j.where(cond).select("doc_id")
 
     def read(self, include_deleted: bool = False) -> DataFrame:
-        v = self._latest_version()
-        if v < 0:
+        meta = self._meta()
+        if meta is None:
             raise FileNotFoundError(f"cluster store at {self.path} is empty")
-        df = self.spark.read.parquet(self._version_dir(v))
+        if "buckets" not in meta:  # legacy monolithic snapshot dir
+            df = self.spark.read.parquet(
+                self._version_dir(int(meta["version"]))
+            )
+        elif not meta["buckets"]:
+            # empty snapshot: the version dir holds a schema-bearing
+            # zero-row parquet (see _commit)
+            df = self.spark.read.parquet(
+                self._version_dir(int(meta["version"]))
+            )
+        else:
+            paths = [
+                os.path.join(self._version_dir(int(ver)), f"bucket={b}")
+                for b, ver in sorted(
+                    meta["buckets"].items(), key=lambda kv: int(kv[0])
+                )
+            ]
+            df = self.spark.read.parquet(*paths)
         return df if include_deleted else df.where(F.col("status") == "active")
 
     def _append_audit(self, audit: DataFrame) -> None:
@@ -195,7 +348,13 @@ class ClusterStore:
                 F.col("status")
             ),
         ).drop("_del")
-        self._commit(new)
+        # only buckets holding a transitioned doc change; the rest carry
+        # forward by manifest pointer (a review deletes O(1) docs — the
+        # commit must not rewrite a 10^12-row corpus)
+        self._commit(
+            new,
+            touched_buckets=self._touched_buckets(audit.select("doc_id")),
+        )
         self._append_audit(audit)  # after the commit, never before
         audit.unpersist()
 

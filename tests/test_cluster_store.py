@@ -124,6 +124,96 @@ def test_soft_delete_drop_to_zero_and_dup_ids(spark, tmp_path):
     assert res2["complete_groups"] == []
 
 
+def test_apply_update_rewrites_only_touched_buckets(spark, tmp_path):
+    """Refresh commit = bucket-partial write: the new version dir holds
+    ONLY the buckets containing changed rows; every other bucket carries
+    forward by manifest pointer; the read equals a from-scratch full
+    store of the same assignment.  (At 10^12 rows this is the difference
+    between a touched-component-sized write and rewriting the world.)"""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = (
+        "doc_id long, cluster_id long, tier string, score double, "
+        "is_representative boolean, url string"
+    )
+    rows = [
+        (i, i - i % 2, "near", 0.9, i % 2 == 0, f"u{i}") for i in range(200)
+    ]
+    store = ClusterStore(spark, str(tmp_path / "s"), n_buckets=8)
+    store.init(spark.createDataFrame(rows, schema))
+
+    # merge docs 2,3 into cluster 0 — exactly two rows change
+    upd_rows = [
+        (i, 0 if i < 4 else i - i % 2, "near", 0.9,
+         i == (0 if i < 4 else i - i % 2), f"u{i}")
+        for i in range(200)
+    ]
+    upd = spark.createDataFrame(upd_rows, schema)
+    v = store.apply_update(upd)
+
+    exp_buckets = {
+        int(r["b"])
+        for r in spark.createDataFrame([(2,), (3,)], "doc_id long")
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("b"))
+        .collect()
+    }
+    vdir = tmp_path / "s" / f"v{v:04d}"
+    written = {
+        int(d.split("=")[1])
+        for d in os.listdir(vdir)
+        if d.startswith("bucket=")
+    }
+    assert written == exp_buckets and len(written) < 8
+    with open(tmp_path / "s" / "_LATEST") as fh:
+        meta = json.load(fh)
+    assert meta["n_buckets"] == 8
+    for b, owner in meta["buckets"].items():
+        assert owner == (v if int(b) in exp_buckets else 0), (b, owner)
+
+    # content equals a from-scratch full store of the same assignment
+    full = ClusterStore(spark, str(tmp_path / "full"), n_buckets=8)
+    full.init(upd)
+    got = sorted(map(tuple, store.read(include_deleted=True).collect()))
+    want = sorted(map(tuple, full.read(include_deleted=True).collect()))
+    assert got == want
+
+    # the changed_ids fast path (superset hint, no corpus diff) commits
+    # the identical content: only docs 196..199 change cluster, and the
+    # hint is a small superset of them
+    upd2_rows = [
+        (i, (196 if i >= 196 else r[1]), r[2], r[3],
+         (i == (196 if i >= 196 else r[1])), r[5])
+        for i, r in enumerate(upd_rows)
+    ]
+    upd2 = spark.createDataFrame(upd2_rows, schema)
+    hinted = spark.createDataFrame(
+        [(i,) for i in range(190, 200)], "doc_id long"
+    )
+    store.apply_update(upd2, changed_ids=hinted)
+    full2 = ClusterStore(spark, str(tmp_path / "full2"), n_buckets=8)
+    full2.init(upd2)
+    got2 = sorted(map(tuple, store.read(include_deleted=True).collect()))
+    want2 = sorted(map(tuple, full2.read(include_deleted=True).collect()))
+    assert got2 == want2
+
+
+def test_soft_delete_commits_only_touched_buckets(spark, tmp_path):
+    import os
+
+    store = _seed(spark, tmp_path)  # 5 docs, default 16 buckets
+    v0_buckets = set(store._meta()["buckets"].keys())
+    store.soft_delete([11])
+    v = store._latest_version()
+    vdir = tmp_path / "clusters" / f"v{v:04d}"
+    written = [d for d in os.listdir(vdir) if d.startswith("bucket=")]
+    assert len(written) == 1  # only doc 11's bucket rewrote
+    # pointer map still covers every original bucket
+    assert set(store._meta()["buckets"].keys()) == v0_buckets
+
+
 def test_apply_update_carries_deletions_forward(spark, tmp_path):
     """Daily-refresh commit: an updated assignment becomes a new snapshot;
     reviewed deletions survive the refresh, new docs start active, and

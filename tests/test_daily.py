@@ -116,6 +116,60 @@ def test_daily_loop_end_to_end(spark, tiny_corpus, cfg, tmp_path, monkeypatch):
     pages.unpersist()
 
 
+def _mk_day(spark, d):
+    """Six docs: one text shared by EVERY day (a cross-day exact chain
+    through the semi-filtered pivot arm), one near-dup family keyed by
+    day parity, three day-unique fillers."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu"
+        + ("" if d % 2 else " extra")
+    )
+    rows = [(f"u{d}_base", base), (f"u{d}_near", near)] + [
+        (f"u{d}_{i}", f"day {d} unique document number {i} padded out " * 4)
+        for i in range(3)
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_daily_compaction_equivalence(spark, cfg, tmp_path):
+    """Eight days with compact_threshold=3: assignments identical to an
+    uncompacted run AND to the batch pipeline over the union; the
+    manifest records the fold; corpus-state readers plan a bounded
+    number of parquet inputs regardless of day count."""
+    days = [_mk_day(spark, d) for d in range(8)]
+    a = DailyDedup(spark, str(tmp_path / "comp"), cfg, compact_threshold=3)
+    b = DailyDedup(spark, str(tmp_path / "nocomp"), cfg, compact_threshold=999)
+    for d, pages in enumerate(days):
+        a.run_day(pages, f"d{d}")
+        b.run_day(pages, f"d{d}")
+    ga = _assignment(
+        a.store.read(include_deleted=True).select("doc_id", "cluster_id")
+    )
+    gb = _assignment(
+        b.store.read(include_deleted=True).select("doc_id", "cluster_id")
+    )
+    assert ga and ga == gb
+
+    manifest = a._manifest()
+    assert manifest["compact"]["through"] >= 4
+    assert (
+        manifest["compact"]["folded_days"]
+        == manifest["days"][: manifest["compact"]["through"]]
+    )
+    # fold + tail: at most compact_threshold + 1 inputs at read time
+    # (the tail can reach threshold+1 right before the NEXT day folds)
+    assert len(a._state_paths("signatures")) <= 3 + 2
+    assert len(b._state_paths("signatures")) == 8
+
+    union = days[0]
+    for p in days[1:]:
+        union = union.unionByName(p)
+    assert ga == _batch_assignment(spark, union, cfg)
+
+
 def test_exact_cross_pairs_semi_filters_old_keys(spark):
     """The exact tier's pivot aggregate must run over delta-TOUCHED old
     keys only (a LeftSemi join feeds the groupBy) — without it the loop

@@ -87,6 +87,33 @@ def test_bigram_lm_hash_keys_equivalent(spark):
     assert sorted(map(tuple, slow)) == sorted(map(tuple, fast))
 
 
+def test_bigram_lm_two_phase_c1_equivalent(spark):
+    # the mega-left-word fallback (persisted c12 + groupBy/join instead
+    # of a window, no single-task fan-in bound) is a pure plan change:
+    # model rows and downstream scores must be identical in both key
+    # modes
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{(i * 3) % 11} tail word soup here w{i % 5}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    ref = docs.where("doc_id % 2 = 0")
+    for hk in (False, True):
+        win = train_bigram_lm(ref, hash_keys=hk)
+        two = train_bigram_lm(ref, hash_keys=hk, c1_mode="two_phase")
+        assert sorted(map(tuple, win.collect())) == sorted(
+            map(tuple, two.collect())
+        )
+        assert win.columns == two.columns
+        assert sorted(map(tuple, score_bigram_lm(docs, two).collect())) == \
+            sorted(map(tuple, score_bigram_lm(docs, win).collect()))
+        two.unpersist()
+    with pytest.raises(ValueError, match="c1_mode"):
+        train_bigram_lm(ref, c1_mode="nope")
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
