@@ -744,6 +744,42 @@ def _ensure_delta_corpus(n_docs: int, seed: int, prefix: str) -> str:
     return path
 
 
+def _ensure_delta_with_copies(
+    base_delta: str, corpus: str, n_copies: int, tag: str
+) -> str:
+    """The base delta UNION ``n_copies`` byte-identical re-crawls of old
+    corpus pages under new urls (prefix ``copy-``) — the exact tier's
+    positive case.  Selection is deterministic (lowest xxhash64(url)
+    corpus rows), so the planted exact-pair count is reproducible:
+    each copy shares its text_sha256 with exactly its source doc, so
+    ``exact_cross_pairs`` must emit >= n_copies edges and the count must
+    scale with the delta (the 2x delta plants 2x copies)."""
+    path = os.path.join(BENCH_DIR, f"bench_delta_{tag}_copies.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from pyspark.sql import functions as F
+
+    print(
+        f"planting {n_copies} exact copies into {tag} delta ...",
+        file=sys.stderr,
+    )
+    spark = _spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(base_delta).select("url", "text")
+    copies = (
+        spark.read.parquet(corpus)
+        .select("url", "text")
+        .orderBy(F.xxhash64("url"))
+        .limit(n_copies)
+        .select(F.concat(F.lit("copy-"), "url").alias("url"), "text")
+    )
+    base.unionByName(copies).repartition(128).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return path
+
+
 def _ensure_sig_store(corpus: str) -> str:
     """Precompute the old corpus's signature store ONCE — the state a
     daily job reads, never recomputes (slim rows, poly hash: the exact
@@ -958,6 +994,16 @@ def run_scaling_incremental(
     delta = _ensure_delta_corpus(n_delta, seed=43, prefix="delta1-")
     delta2x = _ensure_delta_corpus(n_delta * 2, seed=44, prefix="delta2-")
     floor_delta = _ensure_delta_corpus(1000, seed=45, prefix="floor-")
+    if exact_tier:
+        # plant 1% byte-identical re-crawls so the exact tier has a
+        # positive case: n_exact_pairs must be >= the planted count and
+        # double with the 2x delta (0 would mean the tier was a no-op)
+        delta = _ensure_delta_with_copies(
+            delta, corpus, n_delta // 100, "1x"
+        )
+        delta2x = _ensure_delta_with_copies(
+            delta2x, corpus, n_delta // 50, "2x"
+        )
 
     def worker(cpus: int, d: str) -> dict:
         print(f"incremental scaling run at local[{cpus}] ...", file=sys.stderr)
@@ -971,17 +1017,54 @@ def run_scaling_incremental(
         print(line, file=sys.stderr)
         return json.loads(line)
 
-    floors = {c: worker(c, floor_delta) for c in levels}
-    results = {c: worker(c, delta) for c in levels}
+    # floor and main legs run back-to-back PER LEVEL: the floor probe is
+    # subtracted from the same-level wall, so a VM window shift between
+    # them corrupts the marginal directly (observed: a floor probe 1.48x
+    # slower than its main leg 5 minutes later read 0.66 where the flat
+    # window read 0.74).  Adjacency minimizes that; each leg is also the
+    # MIN OF two independent runs (fresh JVM each) — this VM's minute-
+    # scale throttling moved one 8-core main leg 72.8 -> 153.8 s while
+    # the CPU-kernel control moved only 1.3x (memory-bus contention the
+    # control can't see), and min-of-K keeps the least-contended window,
+    # the standard benchmarking estimator for a noisy shared host.  The
+    # kernel-wall control adjustment below bounds what remains.
+    def best_of(cpus: int, d: str, k: int = 2) -> dict:
+        runs = [worker(cpus, d) for _ in range(k)]
+        return min(runs, key=lambda r: r["t_incremental_sec"])
+
+    floors, results = {}, {}
+    for c in levels:
+        floors[c] = best_of(c, floor_delta)
+        results[c] = best_of(c, delta)
     # O(|delta|) evidence: double the delta against the SAME corpus at the
     # top level — the MARGINAL wall must track the delta, not the corpus
     top = max(levels)
-    d2 = worker(top, delta2x)
+    d2 = best_of(top, delta2x)
+    # Scale-up evidence for the two-cluster-size criterion: the 2x delta
+    # ALSO runs at the lowest level, so the report carries efficiency at
+    # two job sizes.  The marginal wall's core-insensitive slice (stage
+    # scheduling, Python worker churn across the job's ~25 stages) is
+    # amortized by a larger delta, so eff(2x) > eff(1x) demonstrates the
+    # job grows INTO its cores — the property that matters at cluster
+    # scale, where deltas are 10^9 docs, not 2x10^5.
+    lo = min(levels)
+    d2_lo = best_of(lo, delta2x)
 
     walls = {c: results[c]["t_incremental_sec"] for c in levels}
     fwalls = {c: floors[c]["t_incremental_sec"] for c in levels}
     marg = {c: walls[c] - fwalls[c] for c in levels}
     raw = {c: results[c]["raw_kernel_wall_sec"] for c in levels}
+    # Control-adjusted floors: at the SAME core count the floor/main
+    # kernel-wall ratio is a pure window-drift measure (same protocol as
+    # run_compare's kernel-wall drift control), so scale each floor to
+    # its main leg's window before subtracting.  Reported alongside the
+    # raw marginal, never instead of it.
+    fadj = {
+        c: fwalls[c]
+        * (raw[c] / floors[c]["raw_kernel_wall_sec"])
+        for c in levels
+    }
+    marg_adj = {c: walls[c] - fadj[c] for c in levels}
 
     def eff(lo: int, hi: int, d: dict) -> float:
         return round((d[lo] / d[hi]) / (hi / lo), 3)
@@ -989,6 +1072,11 @@ def run_scaling_incremental(
     pairs = [(levels[i], levels[i + 1]) for i in range(len(levels) - 1)]
     marg_1x = marg[top]
     marg_2x = d2["t_incremental_sec"] - fwalls[top]
+    marg_2x_adj = d2["t_incremental_sec"] - fwalls[top] * (
+        d2["raw_kernel_wall_sec"] / floors[top]["raw_kernel_wall_sec"]
+    )
+    marg_2x_lo = d2_lo["t_incremental_sec"] - fwalls[lo]
+    eff_2x = round((marg_2x_lo / marg_2x) / (top / lo), 3)
     summary = {
         "metric": (
             "scaling_efficiency_incremental_exact_marginal"
@@ -996,31 +1084,57 @@ def run_scaling_incremental(
             else "scaling_efficiency_incremental_marginal"
         ),
         "value": eff(*pairs[0], marg),
+        "value_ctladj": eff(*pairs[0], marg_adj),
         "unit": "ratio",
         "n_old_docs": n_old,
         "n_delta_docs": results[top]["n_delta_docs"],
         "pairs": {
             f"{lo}_to_{hi}": {
                 "engine_marginal": eff(lo, hi, marg),
+                "engine_marginal_ctladj": eff(lo, hi, marg_adj),
                 "engine_raw_wall": eff(lo, hi, walls),
                 "raw_hardware_ceiling": eff(lo, hi, raw),
             }
             for lo, hi in pairs
         },
         "fixed_floor_walls_sec": fwalls,
+        "floor_walls_ctladj_sec": {c: round(f, 3) for c, f in fadj.items()},
         "marginal_walls_sec": {c: round(m, 3) for c, m in marg.items()},
+        "marginal_walls_ctladj_sec": {
+            c: round(m, 3) for c, m in marg_adj.items()
+        },
         "delta_scaling": {
             "marginal_1x_delta_sec": round(marg_1x, 3),
             "marginal_2x_delta_sec": round(marg_2x, 3),
             "marginal_ratio": round(marg_2x / marg_1x, 2) if marg_1x > 0 else None,
+            "marginal_ratio_ctladj": (
+                round(marg_2x_adj / marg_adj[top], 2)
+                if marg_adj[top] > 0
+                else None
+            ),
             "n_2x_delta_docs": d2["n_delta_docs"],
             "note": "same 500k corpus both runs; O(delta) predicts ~2.0 marginal",
+        },
+        "scale_up": {
+            "note": (
+                "efficiency at two job sizes over the same core pair — "
+                "a larger delta amortizes the marginal wall's "
+                "core-insensitive slice, so the job grows into its cores"
+            ),
+            f"eff_{lo}_to_{top}_1x_delta": eff(lo, top, marg),
+            f"eff_{lo}_to_{top}_2x_delta": eff_2x,
+            "marginal_2x_delta_sec": {
+                lo: round(marg_2x_lo, 3),
+                top: round(marg_2x, 3),
+            },
+            "run_2x_delta_lo": d2_lo,
         },
         "raw_walls_sec": raw,
         "floor_runs": floors,
         "runs": results,
         "run_2x_delta": d2,
         "target": 0.8,
+        "leg_policy": "min of 2 independent fresh-JVM runs per leg",
         "materialized_index": True,
         "exact_tier": exact_tier,
         "derived_path_ab": "BENCH/scaling_incremental_derived.json",
