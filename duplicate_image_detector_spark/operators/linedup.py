@@ -9,7 +9,9 @@ the task brief's training-data-pipeline mandate, sitting between the
 document-level exact tier and the near tier: it rewrites documents
 instead of clustering them.
 
-Two modes over docs(doc_id, text):
+Two modes over docs(doc_id, text), each at two granularities
+(``unit='line'`` | ``'paragraph'`` — paragraphs are runs separated by
+>= 2 newlines, the RefinedWeb/Dolma definition):
 
   * ``df_cap``  — remove EVERY occurrence of a line whose document
     frequency exceeds ``max_df`` (boilerplate strip).  Idempotent: the
@@ -44,15 +46,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _line_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, line_no, line, norm, key) — one row per line.  ``norm``
-    is the trimmed line (identity), ``key`` its xxhash64 (join/agg key:
-    8 bytes instead of the line's bytes in every shuffle; a collision
-    between distinct lines is ~n²/2^65 and would only over-remove)."""
+#: unit -> (split regex, rebuild separator).  Paragraph mode implements
+#: RefinedWeb/Dolma repeated-PARAGRAPH removal with the same machinery:
+#: units are runs separated by >= 2 newlines; the rebuild normalizes
+#: separators to exactly one blank line (the standard normalization —
+#: original intra-paragraph bytes are preserved, only the inter-
+#: paragraph gap width is not).
+_UNITS = {"line": ("\n", "\n"), "paragraph": ("\\n{2,}", "\n\n")}
+
+
+def _line_rows(docs: DataFrame, unit: str = "line") -> DataFrame:
+    """(doc_id, line_no, line, norm, key) — one row per unit.  ``norm``
+    is the trimmed unit (identity), ``key`` its xxhash64 (join/agg key:
+    8 bytes instead of the unit's bytes in every shuffle; a collision
+    between distinct units is ~n²/2^65 and would only over-remove)."""
+    sep_re, _ = _UNITS[unit]
     lines = docs.select(
         "doc_id",
         F.posexplode(
-            F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+            F.split(F.coalesce(F.col("text"), F.lit("")), sep_re, -1)
         ).alias("line_no", "line"),
     )
     norm = F.trim(F.col("line"))
@@ -62,13 +74,15 @@ def _line_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def line_stats(docs: DataFrame, min_df: int = 2) -> DataFrame:
+def line_stats(
+    docs: DataFrame, min_df: int = 2, unit: str = "line"
+) -> DataFrame:
     """(line, df, n_occurrences) for every distinct non-blank trimmed
-    line appearing in >= ``min_df`` distinct documents — the corpus
+    unit appearing in >= ``min_df`` distinct documents — the corpus
     boilerplate profile (what ``df_cap`` removal would strip, plus the
     long tail of template lines below any cap)."""
     return (
-        _line_rows(docs)
+        _line_rows(docs, unit)
         .where(F.col("norm") != "")
         .groupBy("key")
         .agg(
@@ -82,16 +96,21 @@ def line_stats(docs: DataFrame, min_df: int = 2) -> DataFrame:
 
 
 def remove_repeated_lines(
-    docs: DataFrame, max_df: int = 30, mode: str = "df_cap"
+    docs: DataFrame,
+    max_df: int = 30,
+    mode: str = "df_cap",
+    unit: str = "line",
 ) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, text, n_lines, n_removed) with
-    repeated lines removed per ``mode`` (see module docstring).  Every
+    repeated units removed per ``mode`` (see module docstring).  Every
     input doc_id survives; a fully-boilerplate document comes back with
     empty text (callers re-apply their min-length validity predicate).
+    ``unit='paragraph'`` applies the identical rule at paragraph
+    granularity (see ``_UNITS``); idempotent in both units.
     """
     if mode not in ("df_cap", "first"):
         raise ValueError(f"mode must be df_cap|first, got {mode!r}")
-    rows = _line_rows(docs)
+    rows = _line_rows(docs, unit)
     nonblank = rows.where(F.col("norm") != "")
 
     if mode == "df_cap":
@@ -133,7 +152,7 @@ def remove_repeated_lines(
                 ),
                 lambda s: s["line"],
             ),
-            "\n",
+            _UNITS[unit][1],
         ).alias("text"),
         F.count("*").alias("n_lines"),
         F.sum(F.col("_drop").cast("int")).alias("n_removed"),

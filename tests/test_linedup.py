@@ -98,3 +98,99 @@ def test_plan_has_no_cartesian(spark):
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, mode
         assert "BroadcastNestedLoopJoin" not in plan, mode
+
+
+# ---------------------------------------------------------------------------
+# paragraph unit (RefinedWeb/Dolma repeated-paragraph removal)
+# ---------------------------------------------------------------------------
+
+PBOILER = "Subscribe to our newsletter.\nGet updates weekly."
+PDOCS = [
+    # the boilerplate PARAGRAPH contains a single newline — line mode
+    # would see two lines, paragraph mode one unit; docs 1-3 share it
+    (1, f"{PBOILER}\n\nreal body one\nwith a second line"),
+    (2, f"real body two\n\n\n  {PBOILER}  "),   # 3-newline gap + padding
+    (3, f"{PBOILER}\n\nreal body three\n\nreal body three"),
+    (4, "only body\n\nanother paragraph"),
+    (5, None),
+]
+
+
+def _pdf(spark):
+    return spark.createDataFrame(PDOCS, "doc_id long, text string")
+
+
+def test_paragraph_stats(spark):
+    got = {
+        r["line"]: (r["df"], r["n_occurrences"])
+        for r in line_stats(_pdf(spark), unit="paragraph").collect()
+    }
+    # default min_df=2: only the cross-doc boilerplate paragraph — the
+    # within-doc repeat in doc 3 has df=1 and is excluded
+    assert got == {PBOILER: (3, 3)}
+    got1 = {
+        r["line"]: (r["df"], r["n_occurrences"])
+        for r in line_stats(_pdf(spark), min_df=1, unit="paragraph").collect()
+    }
+    assert got1[PBOILER] == (3, 3)
+    assert got1["real body three"] == (1, 2)
+
+
+def test_paragraph_df_cap_removal(spark):
+    out = _by_id(
+        remove_repeated_lines(_pdf(spark), max_df=2, unit="paragraph")
+    )
+    assert out[1]["text"] == "real body one\nwith a second line"
+    assert out[2]["text"] == "real body two"
+    # doc 3: boilerplate stripped, both body copies kept (df_cap is
+    # cross-doc), separator normalized to one blank line
+    assert out[3]["text"] == "real body three\n\nreal body three"
+    assert out[4]["text"] == "only body\n\nanother paragraph"
+    assert out[5]["text"] == ""
+    assert out[1]["n_removed"] == 1 and out[4]["n_removed"] == 0
+
+
+def test_paragraph_first_mode(spark):
+    out = _by_id(
+        remove_repeated_lines(_pdf(spark), mode="first", unit="paragraph")
+    )
+    # global first occurrence of the boilerplate is (doc 1, pos 0); the
+    # within-doc repeat in doc 3 keeps only its first copy
+    assert out[1]["text"].startswith(PBOILER)
+    assert PBOILER not in out[2]["text"]
+    assert out[3]["text"].count("real body three") == 1
+
+
+def test_paragraph_modes_idempotent(spark):
+    for mode in ("df_cap", "first"):
+        once = remove_repeated_lines(
+            _pdf(spark), max_df=2, mode=mode, unit="paragraph"
+        ).select("doc_id", "text")
+        twice = remove_repeated_lines(
+            once, max_df=2, mode=mode, unit="paragraph"
+        ).select("doc_id", "text")
+        a = {r["doc_id"]: r["text"] for r in once.collect()}
+        b = {r["doc_id"]: r["text"] for r in twice.collect()}
+        assert a == b, mode
+
+
+def test_paragraph_matches_python_oracle(spark):
+    # pure-Python re-implementation of df_cap paragraph removal
+    import re
+    from collections import Counter
+
+    split = {i: re.split(r"\n{2,}", t or "") for i, t in PDOCS}
+    df = Counter()
+    for i, parts in split.items():
+        for p in {p.strip() for p in parts if p.strip()}:
+            df[p] += 1
+    max_df = 2
+    want = {
+        i: "\n\n".join(p for p in parts if df[p.strip()] <= max_df or not p.strip())
+        for i, parts in split.items()
+    }
+    out = _by_id(
+        remove_repeated_lines(_pdf(spark), max_df=max_df, unit="paragraph")
+    )
+    for i in want:
+        assert out[i]["text"] == want[i], i
