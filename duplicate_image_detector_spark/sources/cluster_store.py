@@ -377,6 +377,79 @@ class ClusterStore:
         complete = [int(r["cluster_id"]) for r in newly_complete.collect()]
         return {"deleted_count": deleted_count, "complete_groups": sorted(complete)}
 
+    def vacuum(
+        self, grace_versions: int = 0, orphan_ttl_seconds: float = 86400.0
+    ) -> list[int]:
+        """Physically remove version dirs no bucket pointer references —
+        the Iceberg ``expire_snapshots`` analog (and the engine's analog
+        of the reference's trash cleanup, duplicate-detector.py:2420-2474,
+        made safe by the manifest: only UNREFERENCED data is ever
+        touched).  Two kinds of garbage accrue in a bucketed store:
+        superseded bucket leaf dirs (every ``apply_update``/
+        ``soft_delete`` strands its touched buckets' previous files) and
+        orphan dirs from a crash between a version write and its
+        manifest swap.
+
+        ``grace_versions``: keep that many trailing versions below the
+        latest even when unreferenced, preserving a time-travel window
+        for concurrent readers pinned to a recent snapshot (the
+        ``retain_last`` knob of ``expire_snapshots``).  The latest
+        version and every pointer target are ALWAYS kept regardless.
+
+        ``orphan_ttl_seconds``: a dir numbered ABOVE the latest version
+        is an in-flight or crashed commit (the manifest never points
+        above itself).  It is removed only when its mtime is older than
+        this TTL — a commit RUNNING right now must not have its version
+        dir deleted out from under it (the ``remove_orphan_files`` age
+        guard).
+
+        Returns the sorted list of removed version numbers.  Never
+        touches the deletion log (the audit trail outlives any
+        snapshot).  At 10^12 rows this deletes whole directories by
+        manifest arithmetic — no data scan of any kind."""
+        import shutil
+
+        meta = self._meta()
+        if meta is None:
+            return []
+        latest = int(meta["version"])
+        live = {latest} | {
+            int(v) for v in (meta.get("buckets") or {}).values()
+        }
+        keep_floor = latest - int(grace_versions)
+        pointers = {
+            int(b): int(v) for b, v in (meta.get("buckets") or {}).items()
+        }
+        removed = []
+        for name in sorted(os.listdir(self.path)):
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            v = int(name[1:])
+            if v > latest:
+                # crashed (or in-flight) commit: age-gated removal
+                vdir = os.path.join(self.path, name)
+                if time.time() - os.path.getmtime(vdir) >= orphan_ttl_seconds:
+                    shutil.rmtree(vdir)
+                    removed.append(v)
+                continue
+            if v >= keep_floor:
+                continue
+            if v not in live:
+                shutil.rmtree(os.path.join(self.path, name))
+                removed.append(v)
+                continue
+            if v == latest:
+                continue
+            # referenced version below the grace window: some buckets may
+            # be superseded (a later commit re-pointed them) — drop just
+            # those leaf dirs; the version dir survives for the buckets
+            # it still owns
+            vdir = self._version_dir(v)
+            for b in _bucket_dirs(vdir):
+                if pointers.get(b) != v:
+                    shutil.rmtree(os.path.join(vdir, f"bucket={b}"))
+        return removed
+
     def deletion_log(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "_deletion_log"))
 

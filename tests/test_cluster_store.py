@@ -330,3 +330,101 @@ def test_apply_update_before_any_deletion_log_exists(spark, tmp_path):
         for r in store.read(include_deleted=True).collect()
     }
     assert cur[11] == "deleted"
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    """vacuum = expire_snapshots: after several partial commits, the
+    removed set is exactly {unreferenced version dirs below the grace
+    floor} plus superseded bucket leaves inside referenced dirs — and
+    the readable store is bit-identical before/after."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = (
+        "doc_id long, cluster_id long, tier string, score double, "
+        "is_representative boolean, url string"
+    )
+
+    def assignment(merge_upto: int):
+        return spark.createDataFrame(
+            [
+                (i, 0 if i < merge_upto else i - i % 2, "near", 0.9,
+                 i == (0 if i < merge_upto else i - i % 2), f"u{i}")
+                for i in range(200)
+            ],
+            schema,
+        )
+
+    store = ClusterStore(spark, str(tmp_path / "s"), n_buckets=8)
+    store.init(assignment(0))                      # v0: full write
+    store.apply_update(assignment(4))              # v1: partial
+    store.apply_update(assignment(8))              # v2: partial
+    store.soft_delete([5])                         # v3: partial
+    # orphan from a simulated crash: a version dir with no manifest swap
+    orphan = tmp_path / "s" / "v0099"
+    os.makedirs(orphan / "bucket=0")
+    (orphan / "bucket=0" / "junk").write_text("x")
+
+    before = sorted(
+        tuple(r) for r in store.read(include_deleted=True).collect()
+    )
+    meta_before = store._meta()
+    live = {int(meta_before["version"])} | {
+        int(v) for v in meta_before["buckets"].values()
+    }
+
+    # a FRESH above-latest dir is protected by the default TTL (it may
+    # be a commit in flight right now); unreferenced versions below the
+    # floor go immediately
+    first = store.vacuum()
+    assert 99 not in first
+    assert (orphan / "bucket=0" / "junk").exists()
+
+    removed = sorted(first + store.vacuum(orphan_ttl_seconds=0))
+    dirs_after = {
+        int(n[1:])
+        for n in os.listdir(tmp_path / "s")
+        if n.startswith("v") and n[1:].isdigit()
+    }
+    assert 99 in removed                      # crash orphan gone
+    assert set(removed).isdisjoint(live)      # nothing referenced removed
+    assert dirs_after == live                 # everything else is gone
+    # superseded leaves inside referenced dirs are gone: every remaining
+    # leaf is the manifest owner of its bucket
+    for v in dirs_after:
+        vdir = tmp_path / "s" / f"v{v:04d}"
+        for name in os.listdir(vdir):
+            if name.startswith("bucket="):
+                b = name.split("=")[1]
+                assert int(meta_before["buckets"][b]) == v, (v, b)
+    after = sorted(
+        tuple(r) for r in store.read(include_deleted=True).collect()
+    )
+    assert before == after
+    # deletion log untouched
+    assert store.deletion_log().count() == 1
+    # idempotent
+    assert store.vacuum(orphan_ttl_seconds=0) == []
+
+
+def test_vacuum_grace_window_preserves_time_travel(spark, tmp_path):
+    import os
+
+    schema = (
+        "doc_id long, cluster_id long, tier string, score double, "
+        "is_representative boolean, url string"
+    )
+    df = spark.createDataFrame(
+        [(i, i, "near", 0.9, True, f"u{i}") for i in range(50)], schema
+    )
+    store = ClusterStore(spark, str(tmp_path / "s"), n_buckets=4)
+    store.init(df)                                     # v0 (full)
+    store.init(df)                                     # v1 (full: v0 dead)
+    store.init(df)                                     # v2 (full: v1 dead)
+    assert store.vacuum(grace_versions=2) == []        # v0,v1 in the window
+    assert store.vacuum(grace_versions=1) == [0]       # v1 still protected
+    assert sorted(
+        n for n in os.listdir(tmp_path / "s") if n.startswith("v")
+    ) == ["v0001", "v0002"]
+    assert store.vacuum() == [1]
