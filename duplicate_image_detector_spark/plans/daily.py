@@ -167,6 +167,12 @@ class DailyDedup:
     #: (10^3 inputs after 3 years); with it the planner sees at most
     #: ``compact_threshold + 1`` inputs regardless of corpus age.
     compact_threshold: int = 16
+    #: after each day's store commit, expire snapshot versions no bucket
+    #: pointer references, keeping this many trailing versions as a
+    #: time-travel window for concurrent readers (ClusterStore.vacuum;
+    #: crashed above-latest commits stay TTL-guarded).  None disables —
+    #: versions then accrue one per day, forever.
+    store_grace_versions: int | None = 7
 
     def __post_init__(self) -> None:
         # the loop derives doc_id as xxhash64(url) and keeps bigint key
@@ -494,6 +500,8 @@ class DailyDedup:
             version = self.store.apply_update(snapshot, changed_ids=changed)
         else:
             version = self.store.init(snapshot)
+        if self.store_grace_versions is not None:
+            self.store.vacuum(grace_versions=self.store_grace_versions)
         self._append_day(day)
         return {
             "day": day,

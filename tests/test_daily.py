@@ -202,3 +202,50 @@ def test_daily_rejects_id128(spark, tmp_path, cfg):
 
     with pytest.raises(ValueError, match="id_bits=64"):
         DailyDedup(spark, str(tmp_path / "s"), replace(cfg, id_bits=128))
+
+
+def test_daily_store_vacuum_bounds_versions(spark, cfg, tmp_path):
+    """With store_grace_versions=0 the loop expires unreferenced store
+    versions after every day's commit: every surviving version dir is a
+    manifest pointer target, and the readable assignment still equals
+    an un-vacuumed run of the same days."""
+    import json
+    import os
+
+    kw = dict(hash_kind="poly", enable_substring=False)
+    a = DailyDedup(
+        spark, str(tmp_path / "a"), cfg, store_grace_versions=0, **kw
+    )
+    b = DailyDedup(
+        spark, str(tmp_path / "b"), cfg, store_grace_versions=None, **kw
+    )
+    for d in range(4):
+        day = _mk_day(spark, d)
+        a.run_day(day, f"d{d}")
+        b.run_day(day, f"d{d}")
+
+    sdir = tmp_path / "a" / "store"
+    meta = json.loads((sdir / "_LATEST").read_text())
+    live = {int(meta["version"])} | {
+        int(v) for v in meta["buckets"].values()
+    }
+    on_disk = {
+        int(n[1:])
+        for n in os.listdir(sdir)
+        if n.startswith("v") and n[1:].isdigit()
+    }
+    assert on_disk == live
+    # un-vacuumed control accrued more dirs than the vacuumed store
+    on_disk_b = {
+        n
+        for n in os.listdir(tmp_path / "b" / "store")
+        if n.startswith("v")
+    }
+    assert len(on_disk_b) >= len(on_disk)
+    got_a = _assignment(
+        a.store.read(include_deleted=True).select("doc_id", "cluster_id")
+    )
+    got_b = _assignment(
+        b.store.read(include_deleted=True).select("doc_id", "cluster_id")
+    )
+    assert got_a == got_b and got_a
