@@ -27,10 +27,11 @@ Scale design (100 TB):
   pyspark.ml stages are JVM estimators/transformers; probability
   extraction uses ``vector_to_array``).
 
-Reference parity: the reference tool has no learned scorer (its
-quality gates are fixed thresholds, duplicate-detector.py:1184-1209);
-this operator is part of the training-data-pipeline surface the brief
-adds on top.
+Reference parity: the reference tool has no learned scorer — its
+quality gating is fixed config thresholds (duplicate-detector.py:398-400
+``min_inlier_ratio``/``min_absolute_inliers`` defaults, applied at
+:1208-1222); this operator is part of the training-data-pipeline
+surface the brief adds on top.
 """
 
 from __future__ import annotations
