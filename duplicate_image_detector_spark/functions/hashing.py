@@ -158,3 +158,69 @@ def py_simhash(hashes: list[int], bits: int) -> int:
         if s > 0:
             out |= 1 << j
     return out
+
+
+def plan_lsh(
+    threshold: float,
+    n_perm: int = 128,
+    *,
+    weight_fn: float = 1.0,
+    weight_fp: float = 1.0,
+    grid: int = 2000,
+) -> dict:
+    """Choose the (bands, rows_per_band) split of ``n_perm`` MinHash
+    permutations for a Jaccard ``threshold`` — the S-curve tuning the
+    reference does by hand-picked constants (duplicate-detector.py:398-400
+    fixes its thresholds; here the banding is derived, not guessed).
+
+    The probability two docs at similarity ``s`` become LSH candidates
+    is ``p(s) = 1 − (1 − s^r)^b``.  The planner scans every split with
+    ``b·r ≤ n_perm`` (preferring exact products) and minimizes the
+    integrated step-function mismatch::
+
+        err(b, r) = w_fp · ∫₀^t p(s) ds  +  w_fn · ∫ₜ¹ (1 − p(s)) ds
+
+    ``weight_fn > weight_fp`` biases toward recall (candidates are
+    cheap to verify, misses are forever — the usual dedup preference);
+    the integral is a plain midpoint sum (exact enough at ``grid``
+    points; the argmin is stable well below 2000).
+
+    Pure driver-side math — runs once per job config, never per row.
+    Returns bands / rows_per_band / expected_error plus diagnostics:
+    ``s50`` (the curve's 50% crossing ``(1 − 2^(−1/b))^(1/r)``) and the
+    candidate-admission probabilities at ``threshold`` and at
+    ``0.5·threshold`` (the junk-pair rate driver).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if n_perm < 2:
+        raise ValueError(f"n_perm must be >= 2, got {n_perm}")
+    best = None
+    for r in range(1, n_perm + 1):
+        b = n_perm // r
+        if b < 1:
+            break
+        err = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            p = 1.0 - (1.0 - s**r) ** b
+            err += weight_fp * p if s < threshold else weight_fn * (1.0 - p)
+        err /= grid
+        # among equal-error splits prefer the one using every permutation
+        key = (err, -(b * r), r)
+        if best is None or key < best[0]:
+            best = (key, b, r)
+    _, b, r = best
+
+    def p_at(s: float) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "n_perm_used": b * r,
+        "expected_error": best[0][0],
+        "s50": (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r),
+        "p_at_threshold": p_at(threshold),
+        "p_at_half_threshold": p_at(threshold / 2.0),
+    }

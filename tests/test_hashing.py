@@ -101,3 +101,51 @@ def test_identical_sets_always_collide(spark, cfg):
         .count()
     )
     assert p.where(F.col("count") == 2).count() == cfg.bands
+
+
+# ---------------------------------------------------------------------------
+# plan_lsh (S-curve banding planner)
+# ---------------------------------------------------------------------------
+
+def test_plan_lsh_steepens_with_threshold():
+    from duplicate_image_detector_spark.functions.hashing import plan_lsh
+
+    rows = [plan_lsh(t)["rows_per_band"] for t in (0.3, 0.5, 0.7, 0.86, 0.95)]
+    assert rows == sorted(rows), rows          # higher t -> steeper curve
+    assert rows[0] < rows[-1]
+
+
+def test_plan_lsh_s50_tracks_threshold():
+    from duplicate_image_detector_spark.functions.hashing import plan_lsh
+
+    for t in (0.4, 0.6, 0.86):
+        got = plan_lsh(t)
+        assert abs(got["s50"] - t) < 0.08, (t, got)
+        assert got["n_perm_used"] <= 128
+        assert 0.0 < got["p_at_threshold"] < 1.0
+        assert got["p_at_half_threshold"] < got["p_at_threshold"]
+
+
+def test_plan_lsh_recall_bias_flattens_curve():
+    from duplicate_image_detector_spark.functions.hashing import plan_lsh
+
+    sym = plan_lsh(0.86)
+    biased = plan_lsh(0.86, weight_fn=20.0)
+    assert biased["rows_per_band"] < sym["rows_per_band"]
+    assert biased["p_at_threshold"] > sym["p_at_threshold"]
+    # heavy recall bias approaches the repo's shipped 16x8 shape: at
+    # least as many bands as the pinned config needs for recall 1.0
+    assert biased["bands"] >= 8
+
+
+def test_plan_lsh_validates_inputs():
+    import pytest as _pytest
+
+    from duplicate_image_detector_spark.functions.hashing import plan_lsh
+
+    with _pytest.raises(ValueError):
+        plan_lsh(0.0)
+    with _pytest.raises(ValueError):
+        plan_lsh(1.0)
+    with _pytest.raises(ValueError):
+        plan_lsh(0.5, n_perm=1)
