@@ -117,7 +117,10 @@ def run_default() -> None:
         clusters = _clusters_holder[0]
         store_dir = tempfile.mkdtemp(prefix="bench_store_")
         try:
-            store = ClusterStore(spark, store_dir)
+            # n_buckets sized to the corpus (the store's own guidance:
+            # a bucket is the write unit, ~10^7-10^8 rows at scale —
+            # 16 dirs over ~500 clustered docs is pure file overhead)
+            store = ClusterStore(spark, store_dir, n_buckets=4)
             store.init(clusters)
             groups = store.active_groups().limit(1).collect()
             if groups:
