@@ -94,6 +94,7 @@ def run_pipeline(
     exclude_exact: bool = False,
     mode: str = "plain",
     table_format: str = "parquet",
+    parallel_tiers: bool = True,
 ) -> PipelineResult:
     """pages(url, html|text, ...) -> PipelineResult.
 
@@ -121,6 +122,17 @@ def run_pipeline(
     in the ``checkpoint_dir``-named namespace (atomic snapshot commits
     instead of marker files); requires the Iceberg runtime jar + catalog —
     see ``sources/iceberg.py``.
+
+    ``parallel_tiers`` (default on) materializes the three independent
+    tiers — exact (sha256 group-by), near (signatures → LSH/SimHash →
+    verify), substring (fingerprints → span verify) — from concurrent
+    driver threads once ``docs`` is down.  Spark schedules jobs from
+    separate threads independently, so the exact and substring tiers'
+    wall hides under the longer near chain instead of adding to it;
+    stage outputs, checkpoint keys, and resume semantics are identical
+    to the serial order (equivalence-tested), this only overlaps
+    per-stage job latency.  Under ``exclude_exact`` the exact tier is a
+    dependency of ``near_docs`` and runs before the parallel region.
     """
     if mode not in ("plain", "integrated"):
         raise ValueError(f"mode must be plain|integrated, got {mode!r}")
@@ -167,8 +179,6 @@ def run_pipeline(
 
     docs = ckpt.run("docs", _docs)
 
-    exact = ckpt.run("exact", lambda: exact_clusters(docs, cfg))
-
     def _near_docs() -> DataFrame:
         if not exclude_exact:
             return docs
@@ -183,18 +193,16 @@ def run_pipeline(
         )
         return docs.join(dup_members, "doc_id", "left_anti")
 
-    near_docs = ckpt.run("near_docs", _near_docs) if exclude_exact else docs
+    if exclude_exact:
+        # the exact tier is a dependency of near_docs here — it runs
+        # before the parallel region, which then holds only two branches
+        exact = ckpt.run("exact", lambda: exact_clusters(docs, cfg))
+        near_docs = ckpt.run("near_docs", _near_docs)
+    else:
+        exact = None
+        near_docs = docs
 
-    # slim signatures: no shingle arrays in the table the LSH stage shuffles
-    # (~8x smaller rows); 'poly' hash = memoized-token polynomial (fast path)
-    signatures = ckpt.run(
-        "signatures",
-        lambda: compute_signatures(
-            near_docs, cfg, include_shingles=False, hash_kind=hash_kind
-        ),
-    )
-
-    def _candidates() -> DataFrame:
+    def _candidates(signatures: DataFrame) -> DataFrame:
         # near-tier candidates cover BOTH admission arms (verify.py): LSH
         # band buckets for the Jaccard arm, SimHash pigeonhole banding for
         # the Hamming arm.  Both generators are sub-quadratic and
@@ -230,9 +238,7 @@ def run_pipeline(
         ham.unpersist()
         return out
 
-    candidates = ckpt.run("candidates", _candidates)
-
-    def _shingle_sets() -> DataFrame:
+    def _shingle_sets(candidates: DataFrame) -> DataFrame:
         # shingle sets exist only for candidate docs (ref re-reads pixels in
         # its verify workers, :1251-1252 — same economy, distributed)
         from duplicate_image_detector_spark.operators.signatures import (
@@ -244,11 +250,9 @@ def run_pipeline(
         )
         return shingle_sets_for(near_docs, cand_ids, cfg, hash_kind=hash_kind)
 
-    # own checkpoint stage: verify joins it on BOTH pair sides, and without
-    # materialization the candidate-docs Python pass would run twice
-    shingle_sets = ckpt.run("shingle_sets", _shingle_sets)
-
-    def _verified() -> DataFrame:
+    def _verified(
+        signatures: DataFrame, candidates: DataFrame, shingle_sets: DataFrame
+    ) -> DataFrame:
         sig_for_verify = signatures.select("doc_id", "simhash").join(
             shingle_sets, "doc_id"
         )
@@ -280,12 +284,62 @@ def run_pipeline(
             )
         return verify_pairs(candidates, sig_for_verify, cfg)
 
-    verified = ckpt.run("verified", _verified)
+    def _near_chain() -> tuple[DataFrame, DataFrame]:
+        # the near tier's four stages are a sequential chain; the chain as
+        # a whole is one branch of the parallel region.  slim signatures:
+        # no shingle arrays in the table the LSH stage shuffles (~8x
+        # smaller rows); 'poly' hash = memoized-token polynomial (fast path)
+        signatures = ckpt.run(
+            "signatures",
+            lambda: compute_signatures(
+                near_docs, cfg, include_shingles=False, hash_kind=hash_kind
+            ),
+        )
+        candidates = ckpt.run("candidates", lambda: _candidates(signatures))
+        # own checkpoint stage: verify joins it on BOTH pair sides, and
+        # without materialization the candidate-docs Python pass would run
+        # twice
+        shingle_sets = ckpt.run(
+            "shingle_sets", lambda: _shingle_sets(candidates)
+        )
+        verified = ckpt.run(
+            "verified", lambda: _verified(signatures, candidates, shingle_sets)
+        )
+        return signatures, verified
 
+    # the parallel region: exact ∥ (signatures → … → verified) ∥ substring.
+    # The branches' sub-DAGs are disjoint above the already-materialized
+    # docs/near_docs stages, so concurrent materialization can never race
+    # to compute a shared uncached subtree; stage names (and thus
+    # checkpoint paths/tables) are disjoint per branch.
+    branches: dict[str, object] = {"near": _near_chain}
+    if not exclude_exact:
+        branches["exact"] = lambda: ckpt.run(
+            "exact", lambda: exact_clusters(docs, cfg)
+        )
     if enable_substring:
-        substr = ckpt.run("substring", lambda: substring_pairs(near_docs, cfg))
+        branches["substring"] = lambda: ckpt.run(
+            "substring", lambda: substring_pairs(near_docs, cfg)
+        )
+
+    if parallel_tiers and len(branches) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(branches)) as pool:
+            futures = {k: pool.submit(fn) for k, fn in branches.items()}
+            results = {k: f.result() for k, f in futures.items()}
     else:
-        substr = None
+        # serial fallback keeps the historical stage order (exact first)
+        results = {
+            k: branches[k]()
+            for k in ("exact", "near", "substring")
+            if k in branches
+        }
+
+    if not exclude_exact:
+        exact = results["exact"]
+    signatures, verified = results["near"]
+    substr = results.get("substring")
 
     def _edges() -> DataFrame:
         e = exact_pair_edges(exact).select(

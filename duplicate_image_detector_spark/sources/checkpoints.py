@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -59,6 +60,14 @@ class CheckpointManager:
     # callers that run many pipelines in one session call unpersist_all()
     # once the final result is materialized
     _persisted: list[DataFrame] = field(default_factory=list)
+    # run() is called from concurrent tier threads (plans/pipeline.py
+    # parallel_tiers): stage tables/paths are disjoint per stage name, but
+    # the metrics buffer + its append-mode table are shared — serialize them
+    # (two simultaneous parquet appends to one path share a _temporary
+    # staging dir and can clobber each other's task commits)
+    _metrics_lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False
+    )
 
     def __post_init__(self) -> None:
         if self.table_format not in ("parquet", "iceberg"):
@@ -166,19 +175,20 @@ class CheckpointManager:
             .collect()
         }
         wall_ms = int((time.time() - t0) * 1000)
-        self._metrics.append(
-            {
-                "stage": stage,
-                "config_hash": self.cfg.config_hash(),
-                "rows_out": sum(part_rows.values()),
-                "n_files": len(part_rows),
-                "wall_ms": wall_ms,
-                "recomputed": True,
-                "ts": time.time(),
-                "partition_rows": json.dumps(part_rows, sort_keys=True),
-            }
-        )
-        self._write_metrics()
+        with self._metrics_lock:
+            self._metrics.append(
+                {
+                    "stage": stage,
+                    "config_hash": self.cfg.config_hash(),
+                    "rows_out": sum(part_rows.values()),
+                    "n_files": len(part_rows),
+                    "wall_ms": wall_ms,
+                    "recomputed": True,
+                    "ts": time.time(),
+                    "partition_rows": json.dumps(part_rows, sort_keys=True),
+                }
+            )
+            self._write_metrics()
         if self.table_format == "parquet":
             # iceberg needs no marker: the snapshot commit IS completion
             with open(os.path.join(path, _MARKER), "w") as fh:

@@ -191,3 +191,67 @@ def test_threshold_monotonicity(spark, tiny_pages_df, cfg):
         for r in hi.pairs.where("tier = 'near'").collect()
     }
     assert hi_pairs <= lo_pairs
+
+
+def test_parallel_tiers_serial_equivalence(
+    spark, tiny_pages_df, cfg, pipeline_result
+):
+    """``parallel_tiers=False`` (the historical serial stage order) produces
+    the identical pair set and cluster assignment as the default concurrent
+    tier materialization — the flag only overlaps job latency."""
+    ser = run_pipeline(
+        spark, tiny_pages_df, cfg.with_recall_banding(), parallel_tiers=False
+    )
+    ser_pairs = {
+        (r["id_a"], r["id_b"], r["tier"])
+        for r in ser.pairs.select("id_a", "id_b", "tier").collect()
+    }
+    par_pairs = {
+        (r["id_a"], r["id_b"], r["tier"])
+        for r in pipeline_result.pairs.select("id_a", "id_b", "tier").collect()
+    }
+    assert ser_pairs == par_pairs
+    ser_cl = set(
+        ser.clusters.select("url", "cluster_id")
+        .toPandas()
+        .groupby("cluster_id")["url"]
+        .apply(frozenset)
+        .tolist()
+    )
+    par_cl = set(
+        pipeline_result.clusters.select("url", "cluster_id")
+        .toPandas()
+        .groupby("cluster_id")["url"]
+        .apply(frozenset)
+        .tolist()
+    )
+    assert ser_cl == par_cl
+
+
+def test_parallel_tiers_durable_checkpoints(spark, tiny_pages_df, cfg, tmp_path):
+    """Concurrent tier threads against a DURABLE checkpoint dir: every
+    stage still lands exactly one completed table + one metrics row (the
+    metrics appends are serialized by the manager's lock), and a rerun
+    resumes every stage."""
+    c = cfg.with_recall_banding()
+    r1 = run_pipeline(spark, tiny_pages_df, c, checkpoint_dir=str(tmp_path))
+    r1.clusters.count()
+    stages = set(r1.ckpt.computed_stages)
+    assert {"docs", "exact", "signatures", "candidates", "shingle_sets",
+            "verified", "substring", "edges", "components",
+            "clusters"} <= stages
+    m = r1.ckpt.stage_metrics().toPandas()
+    # one metrics row per computed stage, none lost to a concurrent append
+    assert sorted(m["stage"].tolist()) == sorted(stages)
+    r2 = run_pipeline(spark, tiny_pages_df, c, checkpoint_dir=str(tmp_path))
+    assert r2.ckpt.computed_stages == []
+    assert set(r2.ckpt.resumed_stages) == stages
+    got = {
+        (r["url"], r["cluster_id"])
+        for r in r2.clusters.select("url", "cluster_id").collect()
+    }
+    want = {
+        (r["url"], r["cluster_id"])
+        for r in r1.clusters.select("url", "cluster_id").collect()
+    }
+    assert got == want
