@@ -69,6 +69,39 @@ def canonical_url_col(url: Column | str) -> Column:
     return F.when(scheme != "", canon).otherwise(u)
 
 
+def host_col(url: Column | str) -> Column:
+    """Canonical host of ``url``: lowercased, default port and leading
+    ``www.`` stripped — the same host rules ``canonical_url_col`` applies.
+    Empty string for values that don't look like ``scheme://...``."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    return F.regexp_replace(host, "^www\\.", "")
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of ``host``: ``a.b.example.com`` ->
+    ``[a.b.example.com, b.example.com, example.com, com]``.  Blocklists
+    name domains at arbitrary depth, and an entry blocks every
+    subdomain under it — suffix expansion turns that containment test
+    into plain equality joins.  Bounded work: a host has <= ~10 labels,
+    so this is a constant-factor narrow map, never a blowup.  Empty
+    host -> empty array (opaque keys like ``doc://123`` match nothing).
+    """
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    return F.when(host == "", F.array().cast("array<string>")).otherwise(sufs)
+
+
 def url_variant_groups(
     docs: DataFrame, url_col: str = "url", min_size: int = 2
 ) -> DataFrame:
