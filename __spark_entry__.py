@@ -113,7 +113,16 @@ def clear_caches() -> None:
     """Unpersist and drop the shared memo tables.  The bench harness calls
     this before each timed query so every per-query number is a COLD-cache
     cost (comparable across rounds); the driver's correctness run keeps
-    the caches warm — sharing only helps there."""
+    the caches warm — sharing only helps there.
+
+    Also drains the JVM of the PREVIOUS query's garbage: Spark's
+    ContextCleaner only releases dropped shuffle/broadcast/RDD state when
+    a driver GC runs, and with a 31 GB local-mode heap organic full GCs
+    are rare — the backlog measurably taxes the NEXT query's scheduling
+    (measured on sf0.1: the first query after a CC-heavy one ran 24.7 s
+    vs 0.8 s after a forced GC).  A cold-cache boundary that leaves the
+    predecessor's garbage in the JVM is not cold; the GC belongs to the
+    boundary, not to either query's cost."""
     for cache in (_SIG_CACHE, _PAIRS_CACHE, _VERIFIED_CACHE):
         for df in cache.values():
             try:
@@ -127,6 +136,12 @@ def clear_caches() -> None:
         except Exception:
             pass
     _GATE_RESULTS.clear()
+    try:
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            spark._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def _sig_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -216,18 +216,34 @@ def run_pipeline(
             simhash_hamming_pairs,
         )
 
-        lshc = lsh_candidate_pairs(signatures, cfg)
-        # both sides of the pigeonhole self-join are built here, so the
-        # layout is free to follow corpus size: minimal d+1 chunks until
-        # random 15-bit collisions dominate (~5M docs), then the
-        # C(2d,d) combination layout (see pick_simhash_layout); the
-        # signatures stage is persisted by the manager, so the count is
-        # a cache scan
-        ham = simhash_hamming_pairs(
-            signatures.select("doc_id", "simhash"), cfg,
-            max_bucket=cfg.max_bucket,
-            n_chunks=pick_simhash_layout(signatures.count(), cfg),
-        )
+        # the two candidate arms are independent sub-DAGs over the already-
+        # materialized signatures stage — submit them from concurrent
+        # driver threads (guide §2.6, same pattern as the tier overlap):
+        # each arm runs two eager actions (bucket-stats cache + output
+        # cache), and overlapping hides one arm's scheduling latency under
+        # the other's.  Output and caching behavior are unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _lsh_arm() -> DataFrame:
+            return lsh_candidate_pairs(signatures, cfg)
+
+        def _ham_arm() -> DataFrame:
+            # both sides of the pigeonhole self-join are built here, so the
+            # layout is free to follow corpus size: minimal d+1 chunks until
+            # random 15-bit collisions dominate (~5M docs), then the
+            # C(2d,d) combination layout (see pick_simhash_layout); the
+            # signatures stage is persisted by the manager, so the count is
+            # a cache scan
+            return simhash_hamming_pairs(
+                signatures.select("doc_id", "simhash"), cfg,
+                max_bucket=cfg.max_bucket,
+                n_chunks=pick_simhash_layout(signatures.count(), cfg),
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as arm_pool:
+            lsh_f = arm_pool.submit(_lsh_arm)
+            ham_f = arm_pool.submit(_ham_arm)
+            lshc, ham = lsh_f.result(), ham_f.result()
         out = (
             lshc.unionByName(ham.select("id_a", "id_b"))
             .dropDuplicates(["id_a", "id_b"])

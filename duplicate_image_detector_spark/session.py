@@ -71,6 +71,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # ContextCleaner frees dropped shuffle/broadcast/RDD state only
+        # when a driver GC runs; on a 31 GB local-mode heap organic full
+        # GCs are so rare that a long multi-stage job accumulates a
+        # reference backlog that measurably slows later stage scheduling
+        # (default interval 30min — far longer than whole jobs here).
+        .config("spark.cleaner.periodicGC.interval", "30s")
     )
     # when the protobuf shim is active, also deliver its PYTHONPATH via
     # Spark conf: executorEnv reaches real-cluster executors that do NOT

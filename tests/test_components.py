@@ -35,6 +35,49 @@ def test_cc_matches_dsu(spark, name):
     assert got == expected
 
 
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_cc_fast_path_equals_star_rounds(spark, name):
+    """The driver union-find fast path and the distributed alternating-star
+    rounds must emit the identical (doc_id, cluster_id) set."""
+    df = spark.createDataFrame(GRAPHS[name], "id_a long, id_b long")
+    fast = {tuple(r) for r in connected_components(df).collect()}
+    dist = {
+        tuple(r)
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+
+
+def test_cc_fast_path_struct_ids(spark):
+    """id_bits=128 struct keys ride through the driver fast path: labels
+    are the lexicographic component-min structs, same as the star rounds."""
+    edges = [
+        ((1, 9), (2, 0)),
+        ((2, 0), (1, 10)),
+        ((5, 1), (5, 2)),
+    ]
+    schema = (
+        "id_a struct<h1:bigint,h2:bigint>, id_b struct<h1:bigint,h2:bigint>"
+    )
+    df = spark.createDataFrame(edges, schema)
+    fast = {
+        (tuple(r["doc_id"]), tuple(r["cluster_id"]))
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (tuple(r["doc_id"]), tuple(r["cluster_id"]))
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        ((1, 9), (1, 9)),
+        ((2, 0), (1, 9)),
+        ((1, 10), (1, 9)),
+        ((5, 1), (5, 1)),
+        ((5, 2), (5, 1)),
+    }
+
+
 def test_cc_random_graph(spark):
     rng = random.Random(7)
     nodes = list(range(1000))
