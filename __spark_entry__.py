@@ -200,15 +200,34 @@ def _verified_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _VERIFIED_CACHE.get(sf_dir)
     if not _fresh(df, spark):
         sig = _sig_gate(spark, sf_dir)
-        ham = simhash_hamming_pairs(sig.select("doc_id", "simhash"), CFG)
+        # materialize the shared signature cache once, then the two
+        # independent candidate arms' eager actions overlap from driver
+        # threads (same pattern as the pipeline's candidate stage)
+        from concurrent.futures import ThreadPoolExecutor
+
+        sig.count()
+        # deferred-cache mode: the arms hand their bucket caches over via
+        # the registry; they stay resident until clear_caches (the gate
+        # result is only materialized by the caller's action)
+        reg: list = []
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ham_f = pool.submit(
+                simhash_hamming_pairs, sig.select("doc_id", "simhash"), CFG,
+                cache_registry=reg,
+            )
+            lsh_f = pool.submit(
+                lsh_candidate_pairs, sig, CFG_GATE, cache_registry=reg
+            )
+            ham, lshc = ham_f.result(), lsh_f.result()
         cands = (
-            lsh_candidate_pairs(sig, CFG_GATE)
+            lshc
             .unionByName(ham.select("id_a", "id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
         df = verify_pairs(cands, sig, CFG_GATE).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        _GATE_RESULTS.extend(reg)
         _VERIFIED_CACHE[sf_dir] = df
     return df
 

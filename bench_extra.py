@@ -44,9 +44,9 @@ def flagship_stages() -> None:
     walls: dict[str, float] = {}
     orig_run = CheckpointManager.run
 
-    def timed_run(self, stage, fn):
+    def timed_run(self, stage, fn, *args, **kwargs):
         t0 = time.time()
-        out = orig_run(self, stage, fn)
+        out = orig_run(self, stage, fn, *args, **kwargs)
         walls[stage] = walls.get(stage, 0.0) + round(time.time() - t0, 3)
         return out
 

@@ -46,7 +46,19 @@ def contamination_flags(
     (doc_id, bench_id, n_shared_grams), n_shared_grams >= min_shared.
     Grams are distinct per document per side (``shingles_col``), so the
     count is the size of the shared distinct-gram set."""
-    d = _gram_rows(docs, "doc_id", k)
+    from duplicate_image_detector_spark.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    # corpus-side parallelism floor: the gram explode is the interpreted
+    # zip_with chain (~1 ms/KB — Catalyst does not codegen HOF lambdas), so
+    # a 16 KB split already outweighs task overhead; a one-row-group input
+    # would otherwise run the whole corpus on a single task (no-op on
+    # already-parallel inputs).  Measured at sf0.1: 2.6 s -> 1.3 s steady
+    # state, 7.8 s -> 1.6 s first run.
+    d = _gram_rows(
+        ensure_min_parallelism(docs, target_bytes=16 << 10), "doc_id", k
+    )
     b = _gram_rows(benchmark, "bench_id", k)
     return (
         d.join(F.broadcast(b), "gram")

@@ -236,12 +236,17 @@ def incremental_near_pairs(
     if old_fanin_cap == "auto":
         old_fanin_cap = cfg.max_bucket
 
+    own_sig_old = existing_sig is None
     sig_old = (
         existing_sig
         if existing_sig is not None
         else compute_signatures(
             old_docs, cfg, include_shingles=False, hash_kind=hash_kind
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # persisted: without a precomputed store the old-corpus signature
+        # pass (the most expensive Python kernel here) is referenced by
+        # THREE subtrees — the band cross arm, the chunk cross arm, and
+        # the verify-side simhash union — and would execute three times
     )
     sig_new = compute_signatures(
         delta_docs, cfg, include_shingles=False, hash_kind=hash_kind
@@ -255,11 +260,34 @@ def incremental_near_pairs(
     # delta marginal-wall blowup in BENCH/scaling_incremental.json.  The
     # cross arm below is NOT free to do this: its old side is the
     # materialized index, whose layout is pinned by cfg.simhash_n_chunks.
-    nn_lsh = lsh_candidate_pairs(sig_new, cfg)
-    nn_ham = simhash_hamming_pairs(
-        sig_new.select("doc_id", "simhash"), cfg, max_bucket=cfg.max_bucket,
-        n_chunks=pick_simhash_layout(n_delta, cfg),
-    )
+    # The two arms are independent sub-DAGs over the already-materialized
+    # sig_new — their eager bucket-stats/output actions overlap from
+    # concurrent driver threads (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    # deferred-cache mode (see lsh_candidate_pairs): arm outputs stay
+    # lazy; the candidate-union action below materializes all four arms
+    # in ONE job, and the bucket caches release after it
+    reg: list = []
+    with ThreadPoolExecutor(max_workers=3) as arm_pool:
+        nn_lsh_f = arm_pool.submit(
+            lsh_candidate_pairs, sig_new, cfg, cache_registry=reg
+        )
+        nn_ham_f = arm_pool.submit(
+            lambda: simhash_hamming_pairs(
+                sig_new.select("doc_id", "simhash"), cfg,
+                max_bucket=cfg.max_bucket,
+                n_chunks=pick_simhash_layout(n_delta, cfg),
+                cache_registry=reg,
+            )
+        )
+        if own_sig_old:
+            # eager fill of the old-signature cache, overlapped with the
+            # within-delta arms (which only need sig_new): a lazy persist
+            # would let the two cross-arm subtrees of the candidate action
+            # race to compute the same partitions before the cache fills
+            arm_pool.submit(sig_old.count)
+        nn_lsh, nn_ham = nn_lsh_f.result(), nn_ham_f.result()
 
     # new x old: delta buckets joined against the old band/chunk tables
     old_bands = (
@@ -305,8 +333,8 @@ def incremental_near_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands.count()
-    nn_lsh.unpersist()
-    nn_ham.unpersist()
+    for c in reg:
+        c.unpersist()
 
     # verify: shingle sets + simhash for candidate endpoints only, drawn
     # from the union corpus (old text is read just for touched docs)
@@ -335,6 +363,8 @@ def incremental_near_pairs(
     payload.unpersist()
     cands.unpersist()
     sig_new.unpersist()
+    if own_sig_old:
+        sig_old.unpersist()
     return out
 
 

@@ -40,7 +40,11 @@ def explode_bands(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).select("doc_id", F.col("b.band_id"), F.col("b.band_hash"))
 
 
-def lsh_candidate_pairs(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    cfg: PipelineConfig,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """signatures -> distinct candidate (id_a, id_b), id_a < id_b.
 
     Bucket stats come from a partial-aggregating ``groupBy`` joined back to
@@ -86,12 +90,17 @@ def lsh_candidate_pairs(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .select(F.col("pivot_id").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
 
-    out = (
-        joined.select("id_a", "id_b")
-        .union(pivoted)
-        .dropDuplicates(["id_a", "id_b"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    out = joined.select("id_a", "id_b").union(pivoted).dropDuplicates(
+        ["id_a", "id_b"]
     )
+    if cache_registry is not None:
+        # deferred mode: the caller unions/filters this output and
+        # materializes ONCE — skipping the per-arm persist+count saves a
+        # whole job; the band cache is handed to the caller to release
+        # after that materialization
+        cache_registry.append(multi)
+        return out
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     multi.unpersist()
     return out

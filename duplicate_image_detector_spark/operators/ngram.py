@@ -99,8 +99,14 @@ def exploded_shingles(
                 schema=schema,
             )
 
-    src = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    from duplicate_image_detector_spark.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    src = ensure_min_parallelism(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
     )
     return src.mapInArrow(gen, schema=EXPLODED_SCHEMA)
 

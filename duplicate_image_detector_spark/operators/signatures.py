@@ -358,10 +358,16 @@ def shingle_sets_for(
     # broadcast it so the semi-join never shuffles the text column.  (At a
     # scale where the candidate set itself is huge, drop the hint and let
     # AQE pick a sort-merge semi-join.)
+    from duplicate_image_detector_spark.partitioning import (
+        ensure_min_parallelism,
+    )
+
     ids = F.broadcast(doc_ids.select("doc_id").distinct())
-    src = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).join(ids, "doc_id", "left_semi")
+    src = ensure_min_parallelism(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).join(ids, "doc_id", "left_semi")
+    )
     return src.mapInArrow(gen, schema=SHINGLE_SETS_SCHEMA.format(id=_id_ddl(src)))
 
 
@@ -389,9 +395,15 @@ def compute_signatures(
     if method == "pandas" and not keep_shingle_strings:
         if hash_kind not in ("md5", "poly"):
             raise ValueError(f"method='pandas' supports hash_kind md5|poly, got {hash_kind!r}")
-        src = docs.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-        ).where(F.col("text").isNotNull())
+        from duplicate_image_detector_spark.partitioning import (
+            ensure_min_parallelism,
+        )
+
+        src = ensure_min_parallelism(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ).where(F.col("text").isNotNull())
+        )
         schema = (
             SIGNATURE_SCHEMA_FULL if include_shingles else SIGNATURE_SCHEMA_SLIM
         ).format(id=_id_ddl(src))

@@ -176,6 +176,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     simhash_col: str = "simhash",
     n_chunks: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """sig(doc_id, simhash) -> exact (id_a, id_b, hamming), id_a < id_b,
     for every pair with Hamming distance <= cfg.simhash_hamming_max.
@@ -253,9 +254,13 @@ def simhash_hamming_pairs(
         )
         joined = joined.union(piv)
 
-    out = joined.dropDuplicates(["id_a", "id_b"]).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    out = joined.dropDuplicates(["id_a", "id_b"])
+    if cache_registry is not None:
+        # deferred mode (see lsh_candidate_pairs): caller materializes the
+        # union once and releases the chunk cache afterwards
+        cache_registry.append(multi)
+        return out
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     multi.unpersist()
     return out

@@ -28,6 +28,15 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from duplicate_image_detector_spark.partitioning import ensure_min_parallelism
+
+# split target for the matmul kernels below: a 16 KB slice of packed
+# vectors is already ~2 ms of BLAS work, comfortably past task overhead —
+# the generic 32 MB scan-split target would leave small-but-dense inputs
+# single-task (measured: cosine_topk 1.0 s -> 0.8 s steady, 3.2 s -> 1.1 s
+# first run at sf0.1 with the dense target)
+_DENSE_TARGET_BYTES = 16 << 10
+
 if TYPE_CHECKING:
     import pandas as pd
 
@@ -236,7 +245,14 @@ def cosine_topk(
         gen = _block_topk_gen(
             b_ids, b_mat, b_norms, id_col, vec_col, k, scale, ranked=True
         )
-        return base.mapInPandas(gen, schema=_TOPK_SCHEMA)
+        # query side of the broadcast path: floor the scan parallelism so
+        # the per-batch matmul kernel isn't serialized by a one-row-group
+        # input file (no-op on already-parallel inputs).  Dense-kernel
+        # split target: the per-row cost is a dim-wide matmul row, far
+        # above the generic bytes heuristic's assumption.
+        return ensure_min_parallelism(
+            base, target_bytes=_DENSE_TARGET_BYTES
+        ).mapInPandas(gen, schema=_TOPK_SCHEMA)
 
     from pyspark.storagelevel import StorageLevel
 
@@ -335,7 +351,9 @@ def cosine_dup_pairs(
                     q_ids, _vec_matrix(pdf[vec_col]), all_ids, all_mat, all_norms
                 )
 
-        return base.mapInPandas(gen, schema=pair_schema)
+        return ensure_min_parallelism(
+            base, target_bytes=_DENSE_TARGET_BYTES
+        ).mapInPandas(gen, schema=pair_schema)
 
     q_rep, c_rep = _grid_replicate(base, id_col, n_blocks, n_blocks)
 
@@ -409,7 +427,9 @@ def lsh_buckets(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    return ensure_min_parallelism(
+        emb.select(id_col, vec_col), target_bytes=_DENSE_TARGET_BYTES
+    ).mapInPandas(gen, schema=out_schema)
 
 
 def ann_lsh_topk(
@@ -465,23 +485,24 @@ def ann_lsh_topk(
     right = multi.where(keep).select(
         "table_id", "bucket", F.col("vec_id").alias("neighbor_id")
     )
+    # candidates stay LAZY: re-rank consumes them exactly once, so a
+    # persist+count here would be a pure extra pass — the bucket cache
+    # (multi) stays resident until the output materializes and is the
+    # only thing the candidate join re-reads
     cands = (
         left.join(right, ["table_id", "bucket"])
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
         .dropDuplicates(["vec_id", "neighbor_id"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cands.count()
-    multi.unpersist()
-    # materialize the re-ranked top-k, then drop the candidate cache — the
+    # materialize the re-ranked top-k, then drop the bucket cache — the
     # CALLER owns the returned cache (.unpersist() when done); nothing
     # internal is left persisted
     out = _rerank_topk(cands, emb, k, id_col, vec_col, round_digits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     out.count()
-    cands.unpersist()
+    multi.unpersist()
     return out
 
 
@@ -578,7 +599,9 @@ def ann_ivf_topk(
     # ONE assignment pass: rank-1 row = the vector's home cell, all rows =
     # its probe set (the old two-pass variant ran the full-corpus Python
     # projection twice).  Persist so cells and probes read the same pass.
-    assigned = base.mapInPandas(
+    assigned = ensure_min_parallelism(
+        base, target_bytes=_DENSE_TARGET_BYTES
+    ).mapInPandas(
         assign_gen, schema="vec_id bigint, centroid int, cent_rank int"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     assigned.count()
@@ -589,21 +612,20 @@ def ann_ivf_topk(
     # no dropDuplicates: each corpus vector lives in exactly ONE cell and a
     # query's probed centroids are distinct, so a (query, neighbor) pair
     # can match on at most one centroid — dedup here would be a pure
-    # wasted shuffle over the operator's largest intermediate
+    # wasted shuffle over the operator's largest intermediate.  Candidates
+    # stay LAZY (re-rank consumes them exactly once); the assignment cache
+    # holds until the output materializes.
     cands = (
         probes.join(cells, "centroid")
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cands.count()
-    assigned.unpersist()
-    # caller owns the returned cache; the candidate cache is dropped here
+    # caller owns the returned cache; the assignment cache is dropped here
     out = _rerank_topk(cands, emb, k, id_col, vec_col, round_digits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     out.count()
-    cands.unpersist()
+    assigned.unpersist()
     return out
 
 

@@ -185,12 +185,22 @@ def fingerprint_docs(
                 }
             )
 
-    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from duplicate_image_detector_spark.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    src = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
     id_ddl = src.schema["doc_id"].dataType.simpleString()
     return src.mapInPandas(gen, schema=f"doc_id {id_ddl}, fp bigint")
 
 
-def fingerprint_candidate_pairs(fps: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def fingerprint_candidate_pairs(
+    fps: DataFrame,
+    cfg: PipelineConfig,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """(doc_id, fp) -> candidate (id_a < id_b), bucket-capped like LSH.
 
     Same skew-safe shape as ``lsh_candidate_pairs``: partial-aggregating
@@ -219,12 +229,15 @@ def fingerprint_candidate_pairs(fps: DataFrame, cfg: PipelineConfig) -> DataFram
         .where(F.col("doc_id") != F.col("pivot_id"))
         .select(F.col("pivot_id").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    out = (
-        joined.select("id_a", "id_b")
-        .union(pivoted)
-        .dropDuplicates(["id_a", "id_b"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    out = joined.select("id_a", "id_b").union(pivoted).dropDuplicates(
+        ["id_a", "id_b"]
     )
+    if cache_registry is not None:
+        # deferred mode (see lsh_candidate_pairs): the caller materializes
+        # the verified output once and releases the fp cache afterwards
+        cache_registry.append(multi)
+        return out
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     multi.unpersist()
     return out
@@ -287,13 +300,21 @@ def substring_pairs(
     cfg: PipelineConfig,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """docs -> verified (id_a, id_b, span_len, tier='substring') pairs
-    sharing an exact span >= cfg.substring_min_len chars."""
+    sharing an exact span >= cfg.substring_min_len chars.
+
+    ``cache_registry``: deferred-cache mode (see
+    ``fingerprint_candidate_pairs``) — the candidate set is not
+    materialized here; the caller materializes the returned output once
+    and then unpersists the handed-over internal caches."""
     src = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).where(F.col("text").isNotNull())
-    cands = fingerprint_candidate_pairs(fingerprint_docs(src, cfg), cfg)
+    cands = fingerprint_candidate_pairs(
+        fingerprint_docs(src, cfg), cfg, cache_registry=cache_registry
+    )
     return verify_span_pairs(cands, src, cfg)
 
 

@@ -169,12 +169,23 @@ def run_pipeline(
             )
         else:
             doc_id = F.xxhash64("url")
-        return src.where(
-            F.col("text").isNotNull()
-            & (F.length("text") >= cfg.min_text_len)
-        ).select(
-            doc_id.alias("doc_id"), "url", "text",
-            lang.alias("lang"),
+        from duplicate_image_detector_spark.partitioning import (
+            ensure_min_parallelism,
+        )
+
+        # parallelism floor at the pipeline's root: a one-row-group
+        # parquet input scans as ONE partition, which would serialize
+        # every downstream Python kernel (signatures, fingerprints,
+        # shingle sets) onto one task; no-op when the input is already
+        # parallel (guide §2.5)
+        return ensure_min_parallelism(
+            src.where(
+                F.col("text").isNotNull()
+                & (F.length("text") >= cfg.min_text_len)
+            ).select(
+                doc_id.alias("doc_id"), "url", "text",
+                lang.alias("lang"),
+            )
         )
 
     docs = ckpt.run("docs", _docs)
@@ -224,8 +235,14 @@ def run_pipeline(
         # the other's.  Output and caching behavior are unchanged.
         from concurrent.futures import ThreadPoolExecutor
 
+        # deferred-output mode: each arm materializes only its bucket-stats
+        # cache (the self-join's two sides must read a filled cache); the
+        # arm outputs stay lazy and the UNION below materializes both in
+        # one job instead of one per arm
+        reg: list = []
+
         def _lsh_arm() -> DataFrame:
-            return lsh_candidate_pairs(signatures, cfg)
+            return lsh_candidate_pairs(signatures, cfg, cache_registry=reg)
 
         def _ham_arm() -> DataFrame:
             # both sides of the pigeonhole self-join are built here, so the
@@ -238,6 +255,7 @@ def run_pipeline(
                 signatures.select("doc_id", "simhash"), cfg,
                 max_bucket=cfg.max_bucket,
                 n_chunks=pick_simhash_layout(signatures.count(), cfg),
+                cache_registry=reg,
             )
 
         with ThreadPoolExecutor(max_workers=2) as arm_pool:
@@ -250,8 +268,8 @@ def run_pipeline(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         out.count()
-        lshc.unpersist()
-        ham.unpersist()
+        for c in reg:
+            c.unpersist()
         return out
 
     def _shingle_sets(candidates: DataFrame) -> DataFrame:
@@ -334,9 +352,20 @@ def run_pipeline(
             "exact", lambda: exact_clusters(docs, cfg)
         )
     if enable_substring:
-        branches["substring"] = lambda: ckpt.run(
-            "substring", lambda: substring_pairs(near_docs, cfg)
-        )
+
+        def _substring_stage() -> DataFrame:
+            # deferred-cache mode: the fp-bucket cache is released only
+            # after the stage materializes the verified span pairs
+            reg: list = []
+            out = ckpt.run(
+                "substring",
+                lambda: substring_pairs(near_docs, cfg, cache_registry=reg),
+            )
+            for c in reg:
+                c.unpersist()
+            return out
+
+        branches["substring"] = _substring_stage
 
     if parallel_tiers and len(branches) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -376,7 +405,10 @@ def run_pipeline(
             out = out.unionByName(p)
         return out
 
-    edges = ckpt.run("edges", _edges)
+    # lazy persist: edges' two consumers (CC, then cluster assembly) run
+    # sequentially, and CC's first action fills the cache in the same pass
+    # it would otherwise re-scan — one fewer job over the union
+    edges = ckpt.run("edges", _edges, eager=False)
 
     import os
 
@@ -399,7 +431,9 @@ def run_pipeline(
         assembled = assemble_clusters(components, edges)
         return assembled.join(docs.select("doc_id", "url"), "doc_id")
 
-    clusters = ckpt.run("clusters", _clusters)
+    # lazy persist: the caller's first action over the returned clusters
+    # materializes the cache directly (no consumer runs before return)
+    clusters = ckpt.run("clusters", _clusters, eager=False)
 
     return PipelineResult(
         docs=docs,

@@ -114,15 +114,22 @@ class CheckpointManager:
             )
         return os.path.exists(os.path.join(self.stage_path(stage), _MARKER))
 
-    def run(self, stage: str, fn) -> DataFrame:
+    def run(self, stage: str, fn, eager: bool = True) -> DataFrame:
         """Return the stage table, computing + persisting it only if its
-        checkpoint is missing for this config hash."""
+        checkpoint is missing for this config hash.
+
+        ``eager=False`` (disabled-checkpoint mode only) skips the
+        materializing count: the first downstream action fills the cache
+        in one pass instead of two.  Safe ONLY for stages whose consumers
+        run sequentially — a lazy persist read by parallel branches lets
+        them race to compute the stage before the cache fills."""
         if not self.enabled:
             # no durable checkpoint: persist instead (S8 cache analog) so
             # downstream actions don't recompute the whole upstream DAG.
-            # Materialize EAGERLY: a lazy persist lets parallel join branches
-            # of the first action race to compute the same stage 2-3x before
-            # the cache fills (measured 120s vs 35s on the sf0.1 pipeline).
+            # Materialize EAGERLY by default: a lazy persist lets parallel
+            # join branches of the first action race to compute the same
+            # stage 2-3x before the cache fills (measured 120s vs 35s on
+            # the sf0.1 pipeline).
             # Operators that return an already-persisted DataFrame (e.g. the
             # candidate-pair generators) are not persisted a second time.
             from pyspark.storagelevel import StorageLevel
@@ -131,7 +138,8 @@ class CheckpointManager:
             df = fn()
             if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
                 df = df.persist(StorageLevel.MEMORY_AND_DISK)
-                df.count()
+                if eager:
+                    df.count()
             # track operator-persisted stages too: with no durable copy the
             # manager owns every cache until unpersist_all()
             self._persisted.append(df)
