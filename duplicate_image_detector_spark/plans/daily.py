@@ -107,6 +107,15 @@ _STATE_STAGES = (
     "docs", "signatures", "band_rows", "chunk_rows", "exact_keys",
     "substr_fps",
 )
+#: stages a compaction fold consolidates.  ``docs`` is deliberately NOT
+#: here: its text column dominates corpus bytes and no fold consumer
+#: needs it moved — folds carry only the narrow ``docs_meta`` projection
+#: (doc_id, url), while text stays in the immutable per-day dirs and is
+#: read per-candidate (column-pruned) by the verify stages.
+_FOLD_STAGES = (
+    "docs_meta", "signatures", "band_rows", "chunk_rows", "exact_keys",
+    "substr_fps",
+)
 
 
 def exact_cross_pairs(
@@ -161,11 +170,13 @@ class DailyDedup:
     cfg: PipelineConfig = field(default_factory=PipelineConfig)
     hash_kind: str = "poly"
     enable_substring: bool = True
-    #: fold per-day state dirs into one consolidated store once more
-    #: than this many uncompacted days have accrued — without it every
+    #: fold the per-day state tail into a new run once more than this
+    #: many uncompacted days have accrued; runs then merge geometrically
+    #: (LSM-style — see ``compact_state``).  Without folds every
     #: ``_state`` reader plans one parquet input PER COMMITTED DAY
-    #: (10^3 inputs after 3 years); with it the planner sees at most
-    #: ``compact_threshold + 1`` inputs regardless of corpus age.
+    #: (10^3 inputs after 3 years); with them the planner sees
+    #: O(log days) run dirs + at most ``compact_threshold`` day dirs,
+    #: and a day's index rows are rewritten O(log days) times total.
     compact_threshold: int = 16
     #: after each day's store commit, expire snapshot versions no bucket
     #: pointer references, keeping this many trailing versions as a
@@ -226,26 +237,55 @@ class DailyDedup:
             ),
         )
 
-    def _state_paths(self, stage: str) -> list[str]:
-        """The parquet inputs holding one durable stage: the latest
-        compacted fold (if any) plus the per-day dirs committed after
-        it.  Paths that were never written are skipped (a stage can be
-        disabled, e.g. ``substr_fps`` with ``enable_substring=False``)."""
-        assert stage in _STATE_STAGES, stage
-        manifest = self._manifest()
+    def _runs(self, manifest: dict) -> list[dict]:
+        """Ordered, contiguous-from-0 fold runs: each
+        ``{"version", "from", "through"}`` covers days [from, through).
+        A legacy single-fold manifest ("compact") reads as one run."""
+        if "runs" in manifest:
+            return manifest["runs"]
         compact = manifest.get("compact")
-        start = compact["through"] if compact else 0
-        paths = []
         if compact:
-            paths.append(
-                os.path.join(
-                    self.state_dir, "compact",
-                    f"v{compact['version']:04d}", stage,
-                )
-            )
+            return [
+                {
+                    "version": compact["version"],
+                    "from": 0,
+                    "through": compact["through"],
+                }
+            ]
+        return []
+
+    def _run_dir(self, run: dict, stage: str) -> str:
+        return os.path.join(
+            self.state_dir, "compact", f"v{run['version']:04d}", stage
+        )
+
+    def _state_paths(self, stage: str) -> list[str]:
+        """The parquet inputs holding one durable stage.
+
+        ``docs`` (the only text-carrying stage) always reads the
+        immutable per-day dirs — folds never move text.  Every other
+        stage reads the fold runs (O(log days) of them under the
+        geometric policy) plus the per-day dirs committed after the last
+        run.  Paths that were never written are skipped (a stage can be
+        disabled, e.g. ``substr_fps`` with ``enable_substring=False``;
+        ``docs_meta`` is absent from legacy pre-runs folds, whose days
+        then read from the day dirs)."""
+        assert stage in _STATE_STAGES or stage in _FOLD_STAGES, stage
+        manifest = self._manifest()
+        paths: list[str] = []
+        covered = 0
+        if stage != "docs":
+            for run in self._runs(manifest):
+                p = self._run_dir(run, stage)
+                if run["from"] == covered and os.path.exists(p):
+                    paths.append(p)
+                    covered = run["through"]
+                else:
+                    break
+        day_stage = "docs" if stage == "docs_meta" else stage
         paths.extend(
-            self._ckpt(day).stage_path(stage)
-            for day in manifest["days"][start:]
+            self._ckpt(day).stage_path(day_stage)
+            for day in manifest["days"][covered:]
         )
         return [p for p in paths if os.path.exists(p)]
 
@@ -259,53 +299,132 @@ class DailyDedup:
             return None
         return self.spark.read.parquet(*paths)
 
+    def _state_docs_meta(self) -> DataFrame | None:
+        """(doc_id, url) for the committed corpus — the NARROW docs
+        projection every non-verify consumer (re-crawl anti-join, store
+        snapshot urls) needs.  Reads fold runs where they exist and
+        per-day docs dirs for the tail, projecting away text either way
+        (parquet column pruning: text bytes are never read here)."""
+        paths = self._state_paths("docs_meta")
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).select("doc_id", "url")
+
     def compact_state(self) -> dict | None:
-        """Fold all committed days' stage stores into ONE consolidated
-        parquet dir per stage when more than ``compact_threshold``
-        uncompacted day-dirs have accrued; returns the fold record, or
-        None when below threshold.
+        """Geometric (LSM-style) state compaction: fold the per-day tail
+        into a new run once more than ``compact_threshold`` uncompacted
+        days have accrued, then merge adjacent runs while the newer is
+        at least as large (in days covered) as the older.  Returns the
+        fold record ({"folded", "merged", "runs"}), or None when below
+        threshold.
 
         Why: ``_state`` unions one parquet dir per committed day — after
         10^3 days every corpus-side join plans 10^3 inputs and the
-        planner's file listing dominates.  After a fold the planner sees
-        one consolidated input plus at most ``compact_threshold`` recent
-        day-dirs, regardless of corpus age.
+        planner's file listing dominates.  After folds the planner sees
+        O(log days) run dirs plus at most ``compact_threshold`` recent
+        day-dirs.
 
-        Cost/amortization: a fold rewrites the corpus state once — the
-        index tables (signatures, band/chunk rows, keys, fps) are
-        narrow; ``docs`` carries text and dominates.  Amortized over the
-        ``compact_threshold`` days between folds this is O(corpus /
-        threshold) per day of pure sequential parquet I/O with no
-        shuffle (coalesce-free append union).  Production variants
-        (tiered/geometric folds, or Iceberg table compaction) reduce it
-        further; this is the single-tier fold.
+        Cost/amortization: each fold reads only the tail days (or, on a
+        merge, two adjacent runs of equal order), so a given day's rows
+        are rewritten O(log total_days) times over the store's life —
+        the LSM bound — versus O(total_days / threshold) full-corpus
+        rewrites under a single-tier fold.  ``docs`` text never folds at
+        all (see ``_FOLD_STAGES``): at the module's 10^12-doc design
+        point the old single-tier fold moved ~corpus-size text bytes
+        every ``threshold`` days for no consumer; folds now carry only
+        the narrow ``docs_meta`` (doc_id, url) projection.
 
-        Crash-safe: the consolidated dirs are fully written under a NEW
-        version path before the manifest pointer flips (same
-        write-then-swap discipline as the day commit); a crash mid-fold
-        leaves an orphan dir the next fold overwrites."""
+        Crash-safe: run dirs are fully written under NEW version paths
+        before the manifest swap (write-then-swap, same as the day
+        commit); a crash mid-fold leaves orphan dirs that are deleted
+        (best-effort) after the next successful swap."""
+        import shutil
+
         manifest = self._manifest()
-        compact = manifest.get("compact")
-        n_tail = len(manifest["days"]) - (compact["through"] if compact else 0)
-        if n_tail <= self.compact_threshold:
+        runs = list(self._runs(manifest))
+        covered = runs[-1]["through"] if runs else 0
+        n_days = len(manifest["days"])
+        if n_days - covered <= self.compact_threshold:
             return None
-        new_version = (compact["version"] + 1) if compact else 0
-        out_root = os.path.join(
-            self.state_dir, "compact", f"v{new_version:04d}"
-        )
-        for stage in _STATE_STAGES:
-            df = self._state(stage)
-            if df is not None:
-                df.write.mode("overwrite").parquet(
-                    os.path.join(out_root, stage)
+        seq = int(manifest.get("compact_seq", 0))
+        for r in runs:
+            seq = max(seq, int(r["version"]) + 1)
+
+        def _write_run(paths_by_stage: dict, lo: int, hi: int) -> dict:
+            nonlocal seq
+            run = {"version": seq, "from": lo, "through": hi}
+            seq += 1
+            for stage, paths in paths_by_stage.items():
+                if not paths:
+                    continue
+                df = self.spark.read.parquet(*paths)
+                if stage == "docs_meta":
+                    df = df.select("doc_id", "url")
+                df.write.mode("overwrite").parquet(self._run_dir(run, stage))
+            return run
+
+        # 1. fold the tail days into a new run
+        tail_days = manifest["days"][covered:]
+        tail_paths = {
+            stage: [
+                p
+                for p in (
+                    self._ckpt(day).stage_path(
+                        "docs" if stage == "docs_meta" else stage
+                    )
+                    for day in tail_days
                 )
-        manifest["compact"] = {
-            "through": len(manifest["days"]),
-            "version": new_version,
-            "folded_days": list(manifest["days"]),
+                if os.path.exists(p)
+            ]
+            for stage in _FOLD_STAGES
         }
+        folded = [_write_run(tail_paths, covered, n_days)]
+        runs.append(folded[0])
+        merged: list[dict] = []
+        # 2. geometric merge: equal-or-smaller older neighbor -> combine
+        while len(runs) >= 2 and (
+            runs[-1]["through"] - runs[-1]["from"]
+            >= runs[-2]["through"] - runs[-2]["from"]
+        ):
+            a, b = runs[-2], runs[-1]
+            pair_paths = {
+                stage: [
+                    p
+                    for p in (self._run_dir(a, stage), self._run_dir(b, stage))
+                    if os.path.exists(p)
+                ]
+                for stage in _FOLD_STAGES
+            }
+            m = _write_run(pair_paths, a["from"], b["through"])
+            merged.extend([a, b])
+            runs[-2:] = [m]
+        manifest["runs"] = runs
+        manifest["compact_seq"] = seq
+        manifest.pop("compact", None)
         self._write_manifest(manifest)
-        return dict(manifest["compact"])
+        # superseded run dirs are unreferenced after the swap
+        for r in merged:
+            shutil.rmtree(
+                os.path.join(self.state_dir, "compact", f"v{r['version']:04d}"),
+                ignore_errors=True,
+            )
+        record = {
+            "folded_days": tail_days,
+            "n_merged": len(merged),
+            "runs": [dict(r) for r in runs],
+        }
+        hist = manifest.get("fold_history", [])
+        hist.append(
+            {
+                "folded": len(tail_days),
+                "merged_spans": [
+                    r["through"] - r["from"] for r in merged
+                ],
+            }
+        )
+        manifest["fold_history"] = hist
+        self._write_manifest(manifest)
+        return record
 
     @property
     def store(self) -> ClusterStore:
@@ -325,7 +444,8 @@ class DailyDedup:
         self.compact_state()
         ckpt = self._ckpt(day)
         cfg, hash_kind = self.cfg, self.hash_kind
-        old_docs = self._state("docs")
+        old_docs = self._state("docs")          # text: per-day dirs only
+        old_meta = self._state_docs_meta()      # (doc_id, url): folded
         old_sigs = self._state("signatures")
         old_bands = self._state("band_rows")
         old_chunks = self._state("chunk_rows")
@@ -338,10 +458,10 @@ class DailyDedup:
                 F.col("text").isNotNull()
                 & (F.length("text") >= cfg.min_text_len)
             ).select(F.xxhash64("url").alias("doc_id"), "url", "text")
-            if old_docs is None:
+            if old_meta is None:
                 return valid
             return valid.join(
-                old_docs.select("doc_id"), "doc_id", "left_anti"
+                old_meta.select("doc_id"), "doc_id", "left_anti"
             )
 
         docs = ckpt.run("docs", _docs)
@@ -474,10 +594,8 @@ class DailyDedup:
         # label), soft-delete status re-applied by the store's ledger
         corpus_urls = (
             docs.select("doc_id", "url")
-            if old_docs is None
-            else docs.select("doc_id", "url").unionByName(
-                old_docs.select("doc_id", "url")
-            )
+            if old_meta is None
+            else docs.select("doc_id", "url").unionByName(old_meta)
         )
         snapshot = clusters.join(corpus_urls, "doc_id").select(
             "doc_id",

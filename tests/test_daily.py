@@ -154,15 +154,19 @@ def test_daily_compaction_equivalence(spark, cfg, tmp_path):
     assert ga and ga == gb
 
     manifest = a._manifest()
-    assert manifest["compact"]["through"] >= 4
-    assert (
-        manifest["compact"]["folded_days"]
-        == manifest["days"][: manifest["compact"]["through"]]
-    )
-    # fold + tail: at most compact_threshold + 1 inputs at read time
-    # (the tail can reach threshold+1 right before the NEXT day folds)
-    assert len(a._state_paths("signatures")) <= 3 + 2
+    runs = manifest["runs"]
+    assert runs and runs[0]["from"] == 0
+    # runs are contiguous and cover a prefix of the committed days
+    for prev, cur in zip(runs, runs[1:]):
+        assert cur["from"] == prev["through"]
+    assert runs[-1]["through"] >= 4
+    # runs + tail: O(log days) run dirs + at most threshold + 1 day dirs
+    assert len(a._state_paths("signatures")) <= len(runs) + 3 + 1
     assert len(b._state_paths("signatures")) == 8
+    # docs TEXT never folds — it always reads the immutable day dirs —
+    # while the narrow docs_meta projection reads the folded runs
+    assert len(a._state_paths("docs")) == 8
+    assert len(a._state_paths("docs_meta")) <= len(runs) + 3 + 1
 
     union = days[0]
     for p in days[1:]:
@@ -249,3 +253,59 @@ def test_daily_store_vacuum_bounds_versions(spark, cfg, tmp_path):
         b.store.read(include_deleted=True).select("doc_id", "cluster_id")
     )
     assert got_a == got_b and got_a
+
+
+def test_geometric_fold_policy_bounds_rewrites(spark, tmp_path):
+    """20 synthetic days against the fold policy alone (tiny parquet day
+    dirs, no pipeline runs): runs stay contiguous and O(log days), docs
+    text never folds, _state content is lossless across folds, and total
+    fold I/O (in day-spans read) is within the LSM O(N log N) bound —
+    NOT the single-tier O(N^2/threshold)."""
+    import math
+    import os
+
+    dd = DailyDedup(spark, str(tmp_path / "state"), compact_threshold=3)
+    os.makedirs(dd.state_dir, exist_ok=True)
+    n_days = 20
+    for d in range(n_days):
+        day = f"d{d:02d}"
+        ck = dd._ckpt(day)
+        spark.createDataFrame(
+            [(d, f"u{d}", f"text {d}")], "doc_id long, url string, text string"
+        ).write.parquet(ck.stage_path("docs"))
+        spark.createDataFrame(
+            [(d, d * 10)], "doc_id long, sig long"
+        ).write.parquet(ck.stage_path("signatures"))
+        dd._append_day(day)
+        dd.compact_state()
+
+    manifest = dd._manifest()
+    runs = manifest["runs"]
+    assert runs[0]["from"] == 0
+    for prev, cur in zip(runs, runs[1:]):
+        assert cur["from"] == prev["through"]
+    # O(log days) runs, bounded tail
+    assert len(runs) <= int(math.log2(n_days)) + 1
+    assert n_days - runs[-1]["through"] <= dd.compact_threshold
+
+    # docs text reads day dirs only; folded stages read runs + tail
+    assert len(dd._state_paths("docs")) == n_days
+    assert len(dd._state_paths("signatures")) <= len(runs) + dd.compact_threshold
+
+    # lossless: the folded signature state equals the union of all days
+    sig = dd._state("signatures")
+    assert {(r["doc_id"], r["sig"]) for r in sig.collect()} == {
+        (d, d * 10) for d in range(n_days)
+    }
+    meta = dd._state_docs_meta()
+    assert {(r["doc_id"], r["url"]) for r in meta.collect()} == {
+        (d, f"u{d}") for d in range(n_days)
+    }
+
+    # amortized cost: total day-spans read across all folds+merges is
+    # O(N log N); the single-tier scheme would have read
+    # sum_{k} k*threshold ~ N^2/(2*threshold) day-spans (here ~66 at
+    # N=20, t=3 — the LSM bound is well under it)
+    hist = manifest["fold_history"]
+    total_read = sum(h["folded"] + sum(h["merged_spans"]) for h in hist)
+    assert total_read <= n_days * (int(math.log2(n_days)) + 2)
