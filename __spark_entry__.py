@@ -492,7 +492,15 @@ def q_integrated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_pairs(_docs(spark, sf_dir), CFG).select("id_a", "id_b")
+    # deferred-cache mode: the caller's single action materializes the
+    # candidate set and the verify in one job; the handed-over fp-bucket
+    # cache is released at the next clear_caches (gate-results pattern)
+    reg: list = []
+    out = substring_pairs(
+        _docs(spark, sf_dir), CFG, cache_registry=reg
+    ).select("id_a", "id_b")
+    _GATE_RESULTS.extend(reg)
+    return out
 
 
 def q_best_pair_per_member(spark: SparkSession, sf_dir: str) -> DataFrame:

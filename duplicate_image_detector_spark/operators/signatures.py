@@ -366,7 +366,9 @@ def shingle_sets_for(
     src = ensure_min_parallelism(
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-        ).join(ids, "doc_id", "left_semi")
+        ).join(ids, "doc_id", "left_semi"),
+        # md5 is the compute-dense kernel (see compute_signatures)
+        **({"target_bytes": 16 << 10} if hash_kind == "md5" else {}),
     )
     return src.mapInArrow(gen, schema=SHINGLE_SETS_SCHEMA.format(id=_id_ddl(src)))
 
@@ -399,10 +401,17 @@ def compute_signatures(
             ensure_min_parallelism,
         )
 
+        # the md5 shingle hash is compute-dense (~3 ms/KB: one hashlib.md5
+        # per shingle) — give it a small split target so even KB-scale
+        # inputs fan out; the memoized 'poly' kernel is ~10x cheaper and
+        # keeps the generic scan-split target (A/B: a global dense target
+        # saved ~0.8 s on the md5 gates but cost the poly flagship ~6 s in
+        # 32-task stage overhead)
         src = ensure_min_parallelism(
             docs.select(
                 F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-            ).where(F.col("text").isNotNull())
+            ).where(F.col("text").isNotNull()),
+            **({"target_bytes": 16 << 10} if hash_kind == "md5" else {}),
         )
         schema = (
             SIGNATURE_SCHEMA_FULL if include_shingles else SIGNATURE_SCHEMA_SLIM
