@@ -30,12 +30,13 @@ from pyspark.sql import functions as F
 
 from duplicate_image_detector_spark.partitioning import ensure_min_parallelism
 
-# split target for the matmul kernels below: a 16 KB slice of packed
-# vectors is already ~2 ms of BLAS work, comfortably past task overhead —
-# the generic 32 MB scan-split target would leave small-but-dense inputs
-# single-task (measured: cosine_topk 1.0 s -> 0.8 s steady, 3.2 s -> 1.1 s
-# first run at sf0.1 with the dense target)
-_DENSE_TARGET_BYTES = 16 << 10
+# split target for the matmul kernels below: the generic 32 MB scan-split
+# target leaves small-but-dense inputs single-task, while a too-small one
+# fragments the BLAS work into overhead-dominated tasks.  128 KB of packed
+# vectors (~16k dims' worth) measured best across the four kernels at
+# sf0.1: ann_lsh 1.47 s (generic) / 2.4 s (16 KB) / 1.3 s (128 KB);
+# ann_ivf 2.5 / 2.0 / 1.4; cosine_topk flat 0.7-0.8 at both small targets
+_DENSE_TARGET_BYTES = 128 << 10
 
 if TYPE_CHECKING:
     import pandas as pd
