@@ -218,3 +218,25 @@ def test_byte_budget_forces_grid_on_high_d(spark):
     ).toPandas().sort_values(["id_a", "id_b"], ignore_index=True)
     df.unpersist()
     assert len(p_single) > 0 and p_single.equals(p_grid)
+
+
+def test_topk_indices_matches_stable_argsort():
+    """_topk_indices must select and order EXACTLY the rows the stable
+    full argsort picks, including boundary ties, -inf self-masks, and
+    duplicated (rounded) values."""
+    import numpy as np
+
+    from duplicate_image_detector_spark.operators.similarity import (
+        _topk_indices,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(50):
+        n, m = rng.integers(1, 40), rng.integers(1, 60)
+        kk = int(rng.integers(1, m + 1))
+        # coarse rounding plants plenty of exact ties; sprinkle -inf
+        cos = np.round(rng.standard_normal((n, m)), 1)
+        cos[rng.random((n, m)) < 0.1] = -np.inf
+        want = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        got = _topk_indices(cos, kk)
+        assert np.array_equal(got, want), (trial, n, m, kk)
