@@ -147,6 +147,7 @@ def connected_components(
     work_dir: str | None = None,
     truncate_every: int = 3,
     small_graph_edges: int | None = None,
+    edge_count_hint: int | None = None,
 ) -> DataFrame:
     """edges(id_a, id_b) -> (doc_id, cluster_id = component min).
 
@@ -161,12 +162,21 @@ def connected_components(
     ``SMALL_GRAPH_EDGES``; pass 0 to force the distributed rounds) skip
     the loop entirely: one bounded Arrow collect + a driver union-find —
     identical output, none of the per-round scheduling cost.
+
+    ``edge_count_hint``: a caller-known UPPER BOUND on the edge count
+    (e.g. the sum of the materialized tier-stage row counts).  A bound at
+    or below ``small_graph_edges`` proves the driver path is safe without
+    spending a count job; a larger (or absent) bound falls back to
+    counting, so the hint can never change which path runs incorrectly.
     """
     import tempfile
 
     if small_graph_edges is None:
         small_graph_edges = SMALL_GRAPH_EDGES
-    if small_graph_edges and edges.count() <= small_graph_edges:
+    if small_graph_edges and (
+        (edge_count_hint is not None and edge_count_hint <= small_graph_edges)
+        or edges.count() <= small_graph_edges
+    ):
         return _driver_components(edges)
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="cc_work_")

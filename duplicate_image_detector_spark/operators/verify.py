@@ -22,6 +22,19 @@ from duplicate_image_detector_spark.config import PipelineConfig
 from duplicate_image_detector_spark.functions.hashing import hamming_col
 from duplicate_image_detector_spark.operators.signatures import jaccard_col
 
+#: candidate-pair count at or below which callers may BROADCAST the
+#: endpoint payload (shingle sets + simhash) into the verify joins instead
+#: of persisting it as a separate materialization pass.  score_pairs joins
+#: the payload on both pair sides; Spark's exchange reuse evaluates a
+#: broadcast subtree ONCE per job (verified empirically: the payload
+#: kernel processes each row exactly once), so the broadcast path folds
+#: the payload pass into the verify action — one job instead of two.
+#: Sizing: endpoint rows carry the full shingle array (~1-80 KB each);
+#: 2 x 20k rows stays well under typical executor broadcast budgets even
+#: at the 80 KB tail.  Above the cap callers keep the persisted-payload
+#: path, which scales to arbitrarily large candidate sets.
+PAYLOAD_BROADCAST_PAIRS = 20_000
+
 
 def score_pairs(pairs: DataFrame, sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(id_a, id_b) -> + (jaccard double, hamming int).

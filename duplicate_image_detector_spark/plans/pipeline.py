@@ -267,7 +267,7 @@ def run_pipeline(
             .dropDuplicates(["id_a", "id_b"])
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        out.count()
+        n_cand_holder.append(out.count())
         for c in reg:
             c.unpersist()
         return out
@@ -285,11 +285,20 @@ def run_pipeline(
         return shingle_sets_for(near_docs, cand_ids, cfg, hash_kind=hash_kind)
 
     def _verified(
-        signatures: DataFrame, candidates: DataFrame, shingle_sets: DataFrame
+        signatures: DataFrame,
+        candidates: DataFrame,
+        shingle_sets: DataFrame,
+        broadcast_payload: bool = False,
     ) -> DataFrame:
         sig_for_verify = signatures.select("doc_id", "simhash").join(
             shingle_sets, "doc_id"
         )
+        if broadcast_payload:
+            # small candidate sets: broadcast the endpoint payload so the
+            # verify job's two pair-side joins share ONE evaluation of the
+            # (lazily persisted) shingle-set stage via exchange reuse —
+            # see verify.PAYLOAD_BROADCAST_PAIRS
+            sig_for_verify = F.broadcast(sig_for_verify)
         if mode == "integrated":
             # the reference's integrated mode (ref :1438-1530): exact
             # Jaccard un-thresholded, metadata key = (lang, url host),
@@ -318,6 +327,11 @@ def run_pipeline(
             )
         return verify_pairs(candidates, sig_for_verify, cfg)
 
+    # candidate count observed inside _candidates (disabled-checkpoint
+    # mode); a durable resume skips _candidates, so fall back to counting
+    # the stage table (parquet metadata, cheap)
+    n_cand_holder: list[int] = []
+
     def _near_chain() -> tuple[DataFrame, DataFrame]:
         # the near tier's four stages are a sequential chain; the chain as
         # a whole is one branch of the parallel region.  slim signatures:
@@ -330,14 +344,34 @@ def run_pipeline(
             ),
         )
         candidates = ckpt.run("candidates", lambda: _candidates(signatures))
-        # own checkpoint stage: verify joins it on BOTH pair sides, and
-        # without materialization the candidate-docs Python pass would run
-        # twice
+        from duplicate_image_detector_spark.operators.verify import (
+            PAYLOAD_BROADCAST_PAIRS,
+        )
+
+        n_cand = (
+            n_cand_holder[0] if n_cand_holder else candidates.count()
+        )
+        # verify joins the shingle-set payload on BOTH pair sides.  Small
+        # candidate sets broadcast it: exchange reuse evaluates the
+        # payload once inside the verify job, so the stage itself can stay
+        # a lazy persist (one materialization job fewer).  Large sets keep
+        # the eager stage — two plain joins against a lazily-persisted
+        # payload would race to compute the candidate-docs Python pass
+        # twice.
+        small_cands = n_cand <= PAYLOAD_BROADCAST_PAIRS
         shingle_sets = ckpt.run(
-            "shingle_sets", lambda: _shingle_sets(candidates)
+            "shingle_sets",
+            lambda: _shingle_sets(candidates),
+            eager=not small_cands,
         )
         verified = ckpt.run(
-            "verified", lambda: _verified(signatures, candidates, shingle_sets)
+            "verified",
+            lambda: _verified(
+                signatures,
+                candidates,
+                shingle_sets,
+                broadcast_payload=small_cands,
+            ),
         )
         return signatures, verified
 
@@ -420,10 +454,25 @@ def run_pipeline(
         if checkpoint_dir and table_format == "parquet"
         else None
     )
+    # upper bound on the edge count from the tier stages' materialized row
+    # counts (exact star edges <= exact rows): proves the CC small-graph
+    # gate without a count job.  Any stage resumed from a durable
+    # checkpoint has no recorded count — the bound degrades to None and CC
+    # counts as before.
+    tier_stages = ["verified", "exact"] + (
+        ["substring"] if substr is not None else []
+    )
+    edge_bound = (
+        sum(ckpt.stage_rows[s] for s in tier_stages)
+        if all(s in ckpt.stage_rows for s in tier_stages)
+        else None
+    )
     components = ckpt.run(
         "components",
         lambda: connected_components(
-            edges.select("id_a", "id_b"), work_dir=cc_dir
+            edges.select("id_a", "id_b"),
+            work_dir=cc_dir,
+            edge_count_hint=edge_bound,
         ),
     )
 

@@ -55,6 +55,11 @@ class CheckpointManager:
     table_format: str = "parquet"
     computed_stages: list[str] = field(default_factory=list)
     resumed_stages: list[str] = field(default_factory=list)
+    # row counts observed while materializing stages (disabled-mode eager
+    # counts and durable-mode rows_out); lets composers derive bounds —
+    # e.g. the CC edge-count gate — without re-counting.  Resumed stages
+    # are absent (nothing was counted for them).
+    stage_rows: dict[str, int] = field(default_factory=dict)
     _metrics: list[dict] = field(default_factory=list)
     # stage DataFrames this manager itself persisted (disabled mode only);
     # callers that run many pipelines in one session call unpersist_all()
@@ -139,7 +144,7 @@ class CheckpointManager:
             if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
                 df = df.persist(StorageLevel.MEMORY_AND_DISK)
                 if eager:
-                    df.count()
+                    self.stage_rows[stage] = df.count()
             # track operator-persisted stages too: with no durable copy the
             # manager owns every cache until unpersist_all()
             self._persisted.append(df)
@@ -183,6 +188,7 @@ class CheckpointManager:
             .collect()
         }
         wall_ms = int((time.time() - t0) * 1000)
+        self.stage_rows[stage] = sum(part_rows.values())
         with self._metrics_lock:
             self._metrics.append(
                 {

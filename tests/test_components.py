@@ -92,3 +92,26 @@ def test_cc_random_graph(spark):
     }
     expected = py_dsu_components(edges)
     assert got == expected
+
+
+def test_cc_edge_count_hint_paths_identical(spark):
+    """edge_count_hint is an upper bound: a small bound proves the driver
+    path without a count job, a large/absent bound falls back to
+    counting.  All three must produce the identical labeling."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_a bigint, id_b bigint"
+    )
+    want = sorted(map(tuple, connected_components(edges).collect()))
+    small_hint = sorted(
+        map(tuple, connected_components(edges, edge_count_hint=5).collect())
+    )
+    big_hint = sorted(
+        map(
+            tuple,
+            connected_components(edges, edge_count_hint=10**9).collect(),
+        )
+    )
+    assert small_hint == want
+    assert big_hint == want

@@ -255,3 +255,33 @@ def test_parallel_tiers_durable_checkpoints(spark, tiny_pages_df, cfg, tmp_path)
         for r in r1.clusters.select("url", "cluster_id").collect()
     }
     assert got == want
+
+
+def test_payload_broadcast_gate_pipeline_identity(
+    spark, tiny_pages_df, cfg, monkeypatch
+):
+    """The near chain's verify-payload broadcast (shingle_sets folded into
+    the verify job for small candidate sets) vs the forced eager-stage
+    path must produce identical pairs and clusters."""
+    from duplicate_image_detector_spark.operators import verify as V
+
+    a = run_pipeline(spark, tiny_pages_df, cfg)
+    pairs_a = sorted(
+        map(tuple, a.pairs.select("id_a", "id_b", "tier").collect())
+    )
+    clus_a = sorted(
+        map(tuple, a.clusters.select("doc_id", "cluster_id").collect())
+    )
+    a.ckpt.unpersist_all()
+    monkeypatch.setattr(V, "PAYLOAD_BROADCAST_PAIRS", 0)
+    b = run_pipeline(spark, tiny_pages_df, cfg)
+    pairs_b = sorted(
+        map(tuple, b.pairs.select("id_a", "id_b", "tier").collect())
+    )
+    clus_b = sorted(
+        map(tuple, b.clusters.select("doc_id", "cluster_id").collect())
+    )
+    b.ckpt.unpersist_all()
+    assert pairs_a, "non-vacuous"
+    assert pairs_a == pairs_b
+    assert clus_a == clus_b
