@@ -41,47 +41,51 @@ def _warm_runtime(spark: SparkSession) -> None:
     """
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import functions as F
 
     n = spark.sparkContext.defaultParallelism
-    df = spark.range(0, n * 4, 1, n).select(
-        "id",
-        (F.col("id") % 7).alias("k"),
-        F.sha2(F.col("id").cast("string"), 256).alias("s"),
-    )
-    small = spark.range(0, 7).select(F.col("id").alias("k"))
-    df.join(F.broadcast(small), "k").groupBy("k").agg(
-        F.count("*").alias("n"), F.min("s").alias("m")
-    ).collect()
 
-    def gen(batches):
-        import numpy  # noqa: F401  worker-side import, front-loaded
-        import pandas  # noqa: F401
-        import pyarrow  # noqa: F401
+    def _generic() -> None:
+        df = spark.range(0, n * 4, 1, n).select(
+            "id",
+            (F.col("id") % 7).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("s"),
+        )
+        small = spark.range(0, 7).select(F.col("id").alias("k"))
+        df.join(F.broadcast(small), "k").groupBy("k").agg(
+            F.count("*").alias("n"), F.min("s").alias("m")
+        ).collect()
 
-        yield from batches
+        def gen(batches):
+            import numpy  # noqa: F401  worker-side import, front-loaded
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
 
-    spark.range(0, n * 4, 1, n).mapInArrow(gen, "id bigint").count()
-    d = tempfile.mkdtemp(prefix="spark_warm_")
-    try:
-        df.write.mode("overwrite").parquet(os.path.join(d, "w"))
-        spark.read.parquet(os.path.join(d, "w")).count()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+            yield from batches
 
-    # miniature end-to-end pass over ~24 synthetic in-memory rows: beyond
-    # the generic machinery, each DISTINCT generated wholestage-codegen
-    # class still compiles on its first use (Janino caches by generated
-    # source), so the first real pipeline run would otherwise pay a few
-    # seconds of compilation across its ~dozen unique stage shapes
-    # (measured: the LSH gate's first run 4.4 s vs 2.7 s steady AFTER the
-    # generic warmup above).  Running the composed pipeline once over a
-    # handful of synthetic docs front-loads the signature/LSH/SimHash/
-    # substring/verify/CC plan shapes shared by every dedup operator.
-    # This computes nothing reusable: the rows are generated here, never
-    # read from any input, and every stage cache is dropped before return.
-    try:
+        spark.range(0, n * 4, 1, n).mapInArrow(gen, "id bigint").count()
+        d = tempfile.mkdtemp(prefix="spark_warm_")
+        try:
+            df.write.mode("overwrite").parquet(os.path.join(d, "w"))
+            spark.read.parquet(os.path.join(d, "w")).count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _mini_pipeline() -> None:
+        # miniature end-to-end pass over ~24 synthetic in-memory rows:
+        # beyond the generic machinery, each DISTINCT generated
+        # wholestage-codegen class still compiles on its first use (Janino
+        # caches by generated source), so the first real pipeline run
+        # would otherwise pay a few seconds of compilation across its
+        # ~dozen unique stage shapes (measured: the LSH gate's first run
+        # 4.4 s vs 2.7 s steady AFTER the generic warmup alone).  Running
+        # the composed pipeline once over a handful of synthetic docs
+        # front-loads the signature/LSH/SimHash/substring/verify/CC plan
+        # shapes shared by every dedup operator.  Nothing reusable is
+        # computed: the rows are generated here, never read from any
+        # input, and every stage cache is dropped before return.
         from duplicate_image_detector_spark.config import PipelineConfig
         from duplicate_image_detector_spark.plans.pipeline import (
             run_pipeline,
@@ -103,6 +107,16 @@ def _warm_runtime(spark: SparkSession) -> None:
         res = run_pipeline(spark, pages, PipelineConfig())
         res.clusters.count()
         res.ckpt.unpersist_all()
+
+    # the two passes exercise disjoint machinery and Spark schedules jobs
+    # from separate driver threads independently — overlapping them costs
+    # nothing and roughly halves the (untimed) warmup wall
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fg = pool.submit(_generic)
+            fm = pool.submit(_mini_pipeline)
+            fg.result()
+            fm.result()
     except Exception:
         # warmup must never block a session — any failure just means the
         # first real query pays the compilation cost instead
