@@ -332,7 +332,7 @@ def incremental_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_cands = cands.count()
+    cands.count()
     for c in reg:
         c.unpersist()
 
@@ -348,34 +348,28 @@ def incremental_near_pairs(
     sig_union = sig_old.select("doc_id", "simhash").unionByName(
         sig_new.select("doc_id", "simhash")
     )
-    # score_pairs joins the endpoint payload twice (id_a side + id_b
-    # side).  Small candidate sets (the common daily-delta regime) fold
-    # the payload pass into the verify action by BROADCASTING it —
-    # exchange reuse evaluates the broadcast subtree once, so the corpus
-    # text scan + shingling behind ``sets`` still runs exactly once and
-    # one whole materialization job disappears.  Above the cap the
-    # payload is persisted eagerly as before (without either, the ``sets``
-    # pass would execute twice — measured 2x the verify wall at 500k
-    # docs).  Output is identical either way (hint changes strategy, not
-    # semantics).
-    from duplicate_image_detector_spark.operators.verify import (
-        PAYLOAD_BROADCAST_PAIRS,
+    # materialize the endpoint payload ONCE: score_pairs joins it twice
+    # (id_a side + id_b side), and without this the corpus text scan +
+    # shingling behind ``sets`` would execute twice — measured 2x the
+    # whole verify wall at 500k docs.  O(|candidate endpoints|) rows.
+    # Measured NEGATIVE result (kept for the record): folding this pass
+    # into the verify action by broadcasting the payload (the
+    # plans/pipeline.py PAYLOAD_BROADCAST_PAIRS pattern) won ~0.1 s at
+    # sf0.1 but consistently LOST ~1.5 s at 10x corpus size in
+    # interleaved A/Bs — the broadcast-stage round-trip grows with the
+    # corpus-side scan inside this subtree, while the barrier it saves is
+    # fixed.  The persisted path is the scale-correct default here; the
+    # pipeline keeps the fold because there it also removes a whole
+    # checkpoint-stage barrier.
+    payload = sig_union.join(sets, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-
-    payload = sig_union.join(sets, "doc_id")
-    if n_cands <= PAYLOAD_BROADCAST_PAIRS:
-        out = verify_pairs(cands, F.broadcast(payload), cfg).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        out.count()
-    else:
-        payload = payload.persist(StorageLevel.MEMORY_AND_DISK)
-        payload.count()
-        out = verify_pairs(cands, payload, cfg).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        out.count()
-        payload.unpersist()
+    payload.count()
+    out = verify_pairs(cands, payload, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out.count()
+    payload.unpersist()
     cands.unpersist()
     sig_new.unpersist()
     if own_sig_old:

@@ -317,26 +317,3 @@ def test_incremental_wide_delta_layout_output_identical(spark, tiny_corpus):
     a.unpersist()
     b.unpersist()
     docs.unpersist()
-
-
-def test_payload_broadcast_gate_output_identity(spark, tiny_corpus, cfg, monkeypatch):
-    """The verify-side endpoint payload is broadcast (folding its
-    materialization into the verify job) only at or below
-    PAYLOAD_BROADCAST_PAIRS; above it the payload is persisted eagerly as
-    a separate pass.  Both paths must yield bit-identical pairs."""
-    from duplicate_image_detector_spark.operators import verify as V
-
-    docs = _docs_df(spark, tiny_corpus).persist()
-    docs.count()
-    is_new = F.pmod(F.col("doc_id"), F.lit(4)) == 0
-    old, delta = docs.where(~is_new), docs.where(is_new)
-
-    a = incremental_near_pairs(old, delta, cfg)  # broadcast path (tiny set)
-    monkeypatch.setattr(V, "PAYLOAD_BROADCAST_PAIRS", 0)
-    b = incremental_near_pairs(old, delta, cfg)  # forced persisted path
-    got, want = _pairset(b), _pairset(a)
-    assert want, "fixture must yield pairs (non-vacuous)"
-    assert got == want
-    a.unpersist()
-    b.unpersist()
-    docs.unpersist()
